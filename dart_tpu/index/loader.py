@@ -1,0 +1,145 @@
+"""Index loading: BWA-format files -> in-memory arrays + TPU layouts.
+
+Mirrors the reference loader semantics (/root/reference/src/bwt_index.cpp:
+bwa_idx_load :147, RestoreReferenceInfo :229) but keeps everything as
+NumPy arrays and adds a device-friendly FM-index block layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..constants import OCC_INTERVAL
+from . import packer
+
+
+@dataclass
+class Chromosome:
+    name: str
+    length: int
+    forward_location: int
+    reverse_location: int
+
+
+@dataclass
+class Index:
+    # FM-index (host layout)
+    primary: int
+    L2: np.ndarray              # int64[5]
+    bwt: np.ndarray             # uint8[seq_len] BWT codes ($ row removed)
+    occ: np.ndarray             # int64[(n_blocks+1), 4] checkpoints every OCC_INTERVAL
+    sa_samples: np.ndarray      # int64[n_sa] (entry 0 = seq_len, unused)
+    sa_intv: int
+    seq_len: int                # 2 * genome_size
+
+    # Reference sequences
+    genome_size: int
+    ref_codes: np.ndarray       # uint8[2*genome_size]: fwd codes ++ revcomp codes
+    ref_ascii: np.ndarray       # uint8[2*genome_size]: 'A'.. 'T' ASCII
+
+    chromosomes: list[Chromosome] = field(default_factory=list)
+    # ChrLocMap equivalent: sorted end-coordinate keys and their chr idx
+    chr_end_keys: np.ndarray = None
+    chr_end_idx: np.ndarray = None
+
+    def chr_lower_bound(self, g_pos) -> np.ndarray:
+        """Index into chr_end_keys of the first key >= g_pos
+        (std::map::lower_bound equivalent)."""
+        return np.searchsorted(self.chr_end_keys, g_pos, side="left")
+
+
+def deinterleave_bwt(payload: np.ndarray, seq_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Split an interleaved .bwt payload into (bwt codes, occ checkpoints)."""
+    n_blocks = (seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL
+    wpb = OCC_INTERVAL // 16
+    n_words = (seq_len + 15) // 16
+    n_full = seq_len // OCC_INTERVAL
+
+    words = np.empty(n_words, dtype=np.uint32)
+    occ = np.empty((n_blocks + 1, 4), dtype=np.int64)
+
+    body_len = n_full * (8 + wpb)
+    body = payload[:body_len].reshape(n_full, 8 + wpb) if n_full else payload[:0].reshape(0, 8 + wpb)
+    occ[:n_full] = body[:, :8].copy().view("<u8").reshape(n_full, 4).astype(np.int64)
+    words[: n_full * wpb] = body[:, 8:].reshape(-1)
+    pos = body_len
+    if n_blocks > n_full:
+        occ[n_full] = payload[pos : pos + 8].copy().view("<u8").astype(np.int64)
+        pos += 8
+        tail = n_words - n_full * wpb
+        words[n_full * wpb :] = payload[pos : pos + tail]
+        pos += tail
+    occ[n_blocks] = payload[pos : pos + 8].copy().view("<u8").astype(np.int64)
+
+    # Unpack words to per-base codes.
+    shifts = (np.arange(15, -1, -1, dtype=np.uint32) * 2)[None, :]
+    codes = ((words[:, None] >> shifts) & 3).astype(np.uint8).reshape(-1)[:seq_len]
+    return codes, occ
+
+
+def load_index(prefix: str) -> Index:
+    # .bwt
+    with open(prefix + ".bwt", "rb") as f:
+        data = f.read()
+    header = np.frombuffer(data[:40], dtype="<u8")
+    primary = int(header[0])
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = header[1:5].astype(np.int64)
+    seq_len = int(L2[4])
+    payload = np.frombuffer(data[40:], dtype="<u4")
+    bwt, occ = deinterleave_bwt(payload, seq_len)
+
+    # .sa
+    with open(prefix + ".sa", "rb") as f:
+        sdata = f.read()
+    sheader = np.frombuffer(sdata[:56], dtype="<u8")
+    sa_intv = int(sheader[5])
+    n_sa = (seq_len + sa_intv) // sa_intv
+    sa_samples = np.empty(n_sa, dtype=np.int64)
+    sa_samples[0] = seq_len
+    sa_samples[1:] = np.frombuffer(sdata[56:], dtype="<u8", count=n_sa - 1).astype(np.int64)
+
+    # .ann / .pac
+    l_pac, _seed, contigs = packer.read_ann(prefix + ".ann")
+    fwd = packer.read_pac(prefix + ".pac")
+    assert fwd.shape[0] == l_pac, (fwd.shape[0], l_pac)
+    assert 2 * l_pac == seq_len
+
+    rc = (3 - fwd[::-1]).astype(np.uint8)
+    ref_codes = np.concatenate([fwd, rc])
+    ref_ascii = np.frombuffer(b"ACGT", dtype=np.uint8)[ref_codes]
+
+    chromosomes: list[Chromosome] = []
+    keys = []
+    idxs = []
+    total = 0
+    for i, c in enumerate(contigs):
+        fwd_loc = total
+        total += c.length
+        rev_loc = seq_len - total
+        chromosomes.append(Chromosome(c.name, c.length, fwd_loc, rev_loc))
+        keys.append(fwd_loc + c.length - 1)
+        idxs.append(i)
+        keys.append(rev_loc + c.length - 1)
+        idxs.append(i)
+    order = np.argsort(np.asarray(keys, dtype=np.int64), kind="stable")
+    chr_end_keys = np.asarray(keys, dtype=np.int64)[order]
+    chr_end_idx = np.asarray(idxs, dtype=np.int64)[order]
+
+    return Index(
+        primary=primary,
+        L2=L2,
+        bwt=bwt,
+        occ=occ,
+        sa_samples=sa_samples,
+        sa_intv=sa_intv,
+        seq_len=seq_len,
+        genome_size=l_pac,
+        ref_codes=ref_codes,
+        ref_ascii=ref_ascii,
+        chromosomes=chromosomes,
+        chr_end_keys=chr_end_keys,
+        chr_end_idx=chr_end_idx,
+    )

@@ -1,0 +1,69 @@
+"""Index builder + loader tests: byte parity with the reference
+`bwt_index` output (committed under tests/golden/index) and
+self-consistency of the loaded structures."""
+
+import numpy as np
+import pytest
+
+from dart_tpu.index import builder, load_index, packer
+from dart_tpu.index.suffix_array import _sa_numpy, suffix_array
+
+
+def test_build_byte_parity(tmp_path, data_dir, golden_dir):
+    prefix = tmp_path / "toy"
+    builder.build_index(str(data_dir / "toy.fa"), str(prefix))
+    for ext in [".bwt", ".sa", ".pac", ".ann", ".amb"]:
+        ours = (prefix.parent / ("toy" + ext)).read_bytes()
+        golden = (golden_dir / "index" / ("toy" + ext)).read_bytes()
+        assert ours == golden, f"{ext} differs from reference bwt_index output"
+
+
+def test_sais_matches_numpy_fallback():
+    rng = np.random.default_rng(0)
+    for n in [1, 2, 5, 100, 1000]:
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        sa_native = suffix_array(codes)
+        sa_np = _sa_numpy(codes)
+        np.testing.assert_array_equal(sa_native, sa_np)
+
+
+def test_sais_is_valid_suffix_order():
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 4, 500).astype(np.uint8)
+    sa = suffix_array(codes)
+    s = bytes(codes)
+    suffixes = sorted(range(len(s)), key=lambda i: s[i:])
+    np.testing.assert_array_equal(sa, suffixes)
+
+
+def test_loader_roundtrip(golden_dir):
+    idx = load_index(str(golden_dir / "index" / "toy"))
+    assert idx.genome_size == 100000
+    assert idx.seq_len == 200000
+    assert [c.name for c in idx.chromosomes] == ["chrA", "chrB"]
+    assert idx.chromosomes[0].length == 60000
+    # RefSequence convention: second half is the reverse complement.
+    rc = (3 - idx.ref_codes[: idx.genome_size][::-1]) % 4
+    np.testing.assert_array_equal(idx.ref_codes[idx.genome_size :], rc)
+    # Occ checkpoints: final row equals total counts = diffs of L2.
+    np.testing.assert_array_equal(idx.occ[-1], np.diff(idx.L2))
+    # BWT sanity: character counts equal text counts.
+    np.testing.assert_array_equal(np.bincount(idx.bwt, minlength=4), np.diff(idx.L2))
+
+
+def test_lrand48_sequence():
+    # First values of lrand48 after srand48(11), validated against glibc.
+    r = packer.Lrand48(11)
+    vals = [r.next() for _ in range(4)]
+    # Validated against glibc indirectly via the byte-identical .pac test.
+    assert vals == [1609868485, 1074594562, 470884846, 2128573038]
+
+
+def test_pac_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    for n in [1, 3, 4, 5, 1023, 1024]:
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        p = tmp_path / f"t{n}.pac"
+        packer.write_pac(str(p), codes)
+        back = packer.read_pac(str(p))
+        np.testing.assert_array_equal(back, codes)
