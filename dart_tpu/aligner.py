@@ -1,0 +1,199 @@
+"""End-to-end alignment orchestration (reference: Mapping.cpp:579-824).
+
+The per-chunk flow runs the two batched device passes (MEM walks,
+locates) for the whole chunk, then per-read host finalization. Chunks
+are processed in order, so output is deterministic and matches the
+reference at -t 1.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from .config import DartConfig
+from .constants import VERSION_STR
+from .index.loader import Index
+from .io.fastx import ChunkReader
+from .pipeline.chaining import generate_alignment_candidates
+from .pipeline.finalize import gen_mapping_report
+from .pipeline.junctions import merge_sj_maps, update_sj_map, write_sj_table
+from .pipeline.pairing import (
+    check_paired_alignment_candidates,
+    check_paired_final_alignments,
+    remove_redundant_candidates,
+    remove_unmated_candidates,
+)
+from .pipeline.report import (
+    MAX_MAPQ,
+    evaluate_mapq,
+    output_paired,
+    output_single,
+    set_paired_alignment_flag,
+    set_single_alignment_flag,
+)
+from .pipeline.seeding import identify_seed_pairs_chunk
+
+
+def make_engine(idx: Index, cfg: DartConfig):
+    if cfg.engine == "jax":
+        from .ops.fm_jax import FMIndexJax
+
+        return FMIndexJax(idx)
+    from .ops.fm_numpy import FMIndexNumpy
+
+    return _NumpyEngine(FMIndexNumpy(idx))
+
+
+class _NumpyEngine:
+    def __init__(self, fm):
+        self.fm = fm
+
+    def mem_walks(self, chars, valid):
+        return self.fm.mem_walk_batch(chars, valid)
+
+    def locate(self, rows):
+        return self.fm.locate(rows)
+
+
+class DartAligner:
+    def __init__(self, idx: Index, cfg: DartConfig, engine=None):
+        self.idx = idx
+        self.cfg = cfg
+        self.engine = engine if engine is not None else make_engine(idx, cfg)
+        self.sj_map: dict = {}
+        self.counters = {"total": 0, "unique": 0, "unmapped": 0, "paired": 0}
+
+    # ---- per-chunk processing ----
+
+    def process_chunk(self, reads, pair_end: bool, fastq: bool) -> list[str]:
+        cfg = self.cfg
+        idx = self.idx
+        seeds_per_read = identify_seed_pairs_chunk(self.engine, reads, cfg.max_dup_num)
+        local_sj: dict = {}
+        sam: list[str] = []
+        counters = self.counters
+
+        if pair_end and len(reads) % 2 == 0:
+            for i in range(0, len(reads), 2):
+                r1, r2 = reads[i], reads[i + 1]
+                av1 = generate_alignment_candidates(idx, cfg, r1.rlen, seeds_per_read[i])
+                av2 = generate_alignment_candidates(idx, cfg, r2.rlen, seeds_per_read[i + 1])
+                if check_paired_alignment_candidates(av1, av2):
+                    remove_unmated_candidates(av1, av2)
+                remove_redundant_candidates(av1)
+                remove_redundant_candidates(av2)
+                gen_mapping_report(idx, cfg, True, r1, av1)
+                gen_mapping_report(idx, cfg, False, r2, av2)
+                check_paired_final_alignments(cfg, r1, r2)
+                set_paired_alignment_flag(r1, r2)
+                evaluate_mapq(r1)
+                evaluate_mapq(r2)
+                if r1.mapq == MAX_MAPQ or (cfg.find_all_junction and r1.score > 0):
+                    update_sj_map(idx, cfg.min_intron_size, av1[r1.best_idx], local_sj)
+                if r2.mapq == MAX_MAPQ or (cfg.find_all_junction and r2.score > 0):
+                    update_sj_map(idx, cfg.min_intron_size, av2[r2.best_idx], local_sj)
+            for i in range(0, len(reads), 2):
+                output_paired(cfg, idx.chromosomes, reads[i], reads[i + 1], fastq,
+                              counters, sam)
+        else:
+            keep = []
+            for i, read in enumerate(reads):
+                av = generate_alignment_candidates(idx, cfg, read.rlen, seeds_per_read[i])
+                remove_redundant_candidates(av)
+                gen_mapping_report(idx, cfg, True, read, av)
+                set_single_alignment_flag(read)
+                evaluate_mapq(read)
+                if read.mapq == MAX_MAPQ or (cfg.find_all_junction and read.score > 0):
+                    update_sj_map(idx, cfg.min_intron_size, av[read.best_idx], local_sj)
+                keep.append(read)
+            for read in keep:
+                output_single(cfg, idx.chromosomes, read, fastq, counters, sam)
+
+        counters["total"] += len(reads)
+        merge_sj_maps(self.sj_map, local_sj)
+        return sam
+
+    # ---- full run ----
+
+    def header_lines(self) -> list[str]:
+        lines = [f"@PG\tID:Dart\tPN:Dart\tVN:{VERSION_STR}"]
+        for c in self.idx.chromosomes:
+            lines.append(f"@SQ\tSN:{c.name}\tLN:{c.length}")
+        return lines
+
+    def run(self, out_stream=None) -> None:
+        cfg = self.cfg
+        own = False
+        writer = None
+        if out_stream is None:
+            if cfg.output_format == 1:
+                from .io.bam import BamWriter
+
+                writer = BamWriter(cfg.output_file)
+                own = True
+            else:
+                out_stream = open(cfg.output_file, "w")
+                own = True
+        start = time.time()
+        header = self.header_lines()
+        if writer is not None:
+            writer.write_header(header)
+        else:
+            for line in header:
+                out_stream.write(line + "\n")
+        files2 = cfg.read_files_2 if cfg.read_files_2 else [None] * len(cfg.read_files_1)
+        for path1, path2 in zip(cfg.read_files_1, files2):
+            reader = ChunkReader(path1, path2, cfg.pair_end)
+            pair_end = reader.pair_end
+            while True:
+                reads = reader.next_chunk()
+                if not reads:
+                    break
+                sam = self.process_chunk(reads, pair_end, reader.fastq)
+                if writer is not None:
+                    for line in sam:
+                        writer.write_record(line)
+                else:
+                    out_stream.write("\n".join(sam))
+                    if sam:
+                        out_stream.write("\n")
+                if not cfg.silent:
+                    print(f"\r{self.counters['total']} "
+                          f"{'paired-end' if pair_end else 'singled-end'} tags processed "
+                          f"in {int(time.time() - start)} seconds...",
+                          end="", file=sys.stderr)
+            reader.close()
+        if own:
+            if writer is not None:
+                writer.close()
+            else:
+                out_stream.close()
+        n_sj = write_sj_table(self.idx, self.sj_map, cfg.sj_file)
+        if not cfg.silent:
+            print("", file=sys.stderr)
+        self.print_summary(n_sj)
+
+    def print_summary(self, n_sj: int) -> None:
+        c = self.counters
+        total = c["total"]
+        if total == 0:
+            return
+
+        def pct(x):
+            return int(10000 * (x / total) + 0.5) / 100.0
+
+        mapped = total - c["unmapped"]
+        out = sys.stdout
+        if self.cfg.pair_end or self.cfg.read_files_2:
+            print(f"\t# of total mapped reads = {mapped} (sensitivity = {pct(mapped):.2f}%)"
+                  f"\n\t# of paired sequences = {c['paired']} ({pct(c['paired']):.2f}%)", file=out)
+        else:
+            print(f"\t# of total mapped reads = {mapped} (sensitivity = {pct(mapped):.2f}%)", file=out)
+        print(f"\t# of unique mapped reads = {c['unique']} ({pct(c['unique']):.2f}%)", file=out)
+        if not self.cfg.unique_only:
+            multi = mapped - c["unique"]
+            print(f"\t# of multiple mapped reads = {multi} ({pct(multi):.2f}%)", file=out)
+        print(f"\t# of unmapped reads = {c['unmapped']} ({pct(c['unmapped']):.2f}%)", file=out)
+        print(f"\t# of splice junctions = {n_sj} (file: {self.cfg.sj_file})", file=out)
+        print(f"\tAlignment output: {self.cfg.output_file}\n", file=out)

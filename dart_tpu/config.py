@@ -1,0 +1,31 @@
+"""Aligner configuration mirroring the reference CLI defaults
+(/root/reference/src/main.cpp:101-117) flag-for-flag."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class DartConfig:
+    index_prefix: str = ""
+    read_files_1: list[str] = field(default_factory=list)
+    read_files_2: list[str] = field(default_factory=list)
+    output_file: str = "output.sam"
+    output_format: int = 0  # 0: sam, 1: bam
+    sj_file: str = "junctions.tab"
+    threads: int = 4
+    max_gaps: int = 5
+    max_dup_num: int = 100          # clamp [100, 10000] (main.cpp:176-177)
+    max_intron_size: int = 500000   # clamp >= 100000 when set (main.cpp:187)
+    min_intron_size: int = 5
+    max_mismatch: int = 0           # -mis; reference default is 0 (global zero-init)
+    pair_end: bool = False          # -p interleaved pairs
+    multi_hit: bool = False         # -m
+    unique_only: bool = False       # -unique
+    find_all_junction: bool = False # -all_sj
+    silent: bool = False
+    debug: bool = False
+    # dart_tpu extensions (not in the reference)
+    engine: str = "numpy"           # numpy | jax  (device compute engine)
+    batch_reads: int = 4000

@@ -1,0 +1,173 @@
+"""BAM output: BGZF container + SAM-record binary encoding.
+
+The reference produces BAM by round-tripping its own SAM text through
+htslib (Mapping.cpp:655-663). We encode directly: SAM text line ->
+binary BAM record, BGZF-compressed with zlib. Output is semantically
+identical (same records), not byte-identical (compression framing may
+differ from htslib's).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+SEQ_NT16 = {b: i for i, b in enumerate("=ACMGRSVTWYHKDBN")}
+CIGAR_OPS = {op: i for i, op in enumerate("MIDNSHP=X")}
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+class BgzfWriter:
+    MAX_BLOCK = 65280
+
+    def __init__(self, path: str):
+        self.fh = open(path, "wb")
+        self.buf = bytearray()
+
+    def write(self, data: bytes) -> None:
+        self.buf += data
+        while len(self.buf) >= self.MAX_BLOCK:
+            self._flush_block(self.buf[: self.MAX_BLOCK])
+            del self.buf[: self.MAX_BLOCK]
+
+    def _flush_block(self, raw: bytes) -> None:
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = co.compress(bytes(raw)) + co.flush()
+        bsize = len(comp) + 25 + 1
+        header = struct.pack(
+            "<BBBBIBBHBBHH",
+            0x1F, 0x8B, 8, 4,   # gzip magic, deflate, FEXTRA
+            0, 0, 0xFF,          # mtime, xfl, os
+            6,                   # xlen
+            66, 67, 2,           # 'B' 'C' slen
+            bsize - 1,
+        )
+        crc = zlib.crc32(bytes(raw)) & 0xFFFFFFFF
+        self.fh.write(header + comp + struct.pack("<II", crc, len(raw)))
+
+    def close(self) -> None:
+        if self.buf:
+            self._flush_block(bytes(self.buf))
+            self.buf.clear()
+        self.fh.write(BGZF_EOF)
+        self.fh.close()
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def _parse_cigar(cig: str) -> list[tuple[int, int]]:
+    out = []
+    num = 0
+    for ch in cig:
+        if ch.isdigit():
+            num = num * 10 + ord(ch) - 48
+        else:
+            out.append((num, CIGAR_OPS[ch]))
+            num = 0
+    return out
+
+
+def _encode_int_tag(tag: bytes, val: int) -> bytes:
+    if 0 <= val <= 0xFF:
+        return tag + b"C" + struct.pack("<B", val)
+    if -128 <= val < 0:
+        return tag + b"c" + struct.pack("<b", val)
+    if 0 <= val <= 0xFFFF:
+        return tag + b"S" + struct.pack("<H", val)
+    if -32768 <= val < 0:
+        return tag + b"s" + struct.pack("<h", val)
+    return tag + b"i" + struct.pack("<i", val)
+
+
+class BamWriter:
+    def __init__(self, path: str):
+        self.bgzf = BgzfWriter(path)
+        self.ref_ids: dict[str, int] = {}
+
+    def write_header(self, header_lines: list[str]) -> None:
+        text = "\n".join(header_lines) + "\n"
+        refs = []
+        for line in header_lines:
+            if line.startswith("@SQ"):
+                fields = dict(f.split(":", 1) for f in line.split("\t")[1:])
+                refs.append((fields["SN"], int(fields["LN"])))
+        for i, (name, _ln) in enumerate(refs):
+            self.ref_ids[name] = i
+        out = b"BAM\x01" + struct.pack("<i", len(text)) + text.encode()
+        out += struct.pack("<i", len(refs))
+        for name, ln in refs:
+            nb = name.encode() + b"\x00"
+            out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
+        self.bgzf.write(out)
+
+    def write_record(self, sam_line: str) -> None:
+        f = sam_line.split("\t")
+        qname, flag, rname, pos, mapq = f[0], int(f[1]), f[2], int(f[3]), int(f[4])
+        cigar_str, rnext, pnext, tlen, seq, qual = f[5], f[6], int(f[7]), int(f[8]), f[9], f[10]
+        tags = f[11:]
+
+        ref_id = self.ref_ids.get(rname, -1)
+        cigar = _parse_cigar(cigar_str) if cigar_str != "*" else []
+        ref_len = sum(n for n, op in cigar if op in (0, 2, 3, 7, 8)) or 1
+        p0 = pos - 1
+        bin_ = _reg2bin(p0 if p0 >= 0 else 0, (p0 + ref_len) if p0 >= 0 else 1)
+        if rnext == "=":
+            next_ref = ref_id
+        elif rnext == "*":
+            next_ref = -1
+        else:
+            next_ref = self.ref_ids.get(rnext, -1)
+
+        name_b = qname.encode() + b"\x00"
+        rec = struct.pack(
+            "<iiBBHHHiiii",
+            ref_id, p0,
+            len(name_b), mapq, bin_, len(cigar), flag,
+            len(seq) if seq != "*" else 0,
+            next_ref, pnext - 1, tlen,
+        )
+        rec += name_b
+        for n, op in cigar:
+            rec += struct.pack("<I", (n << 4) | op)
+        if seq != "*":
+            packed = bytearray((len(seq) + 1) // 2)
+            for i, ch in enumerate(seq):
+                code = SEQ_NT16.get(ch.upper(), 15)
+                packed[i // 2] |= code << (4 if i % 2 == 0 else 0)
+            rec += bytes(packed)
+            if qual == "*":
+                rec += b"\xff" * len(seq)
+            else:
+                rec += bytes((ord(c) - 33) & 0xFF for c in qual)
+        for tag in tags:
+            # tags may contain a space-joined trailing XS:A (reference quirk)
+            for part in tag.split(" "):
+                if not part:
+                    continue
+                name, typ, val = part.split(":", 2)
+                tb = name.encode()
+                if typ == "i":
+                    rec += _encode_int_tag(tb, int(val))
+                elif typ == "A":
+                    rec += tb + b"A" + val.encode()[:1]
+                else:
+                    rec += tb + b"Z" + val.encode() + b"\x00"
+        self.bgzf.write(struct.pack("<i", len(rec)) + rec)
+
+    def close(self) -> None:
+        self.bgzf.close()

@@ -1,0 +1,77 @@
+"""Unit tests for the compute primitives: FM-index search/locate vs
+brute force, and the two NW implementations against each other (both
+were fuzz-verified against the compiled reference DP; see
+tools/build_reference.sh + the nw harness procedure in docs)."""
+
+import numpy as np
+import pytest
+
+from dart_tpu.ops.fm_numpy import FMIndexNumpy
+from dart_tpu.ops.nw_numpy import nw_align, nw_align_numpy
+
+
+@pytest.fixture(scope="module")
+def fm(toy_index):
+    return FMIndexNumpy(toy_index)
+
+
+def _brute_occurrences(text: bytes, pat: bytes):
+    out = []
+    s = 0
+    while True:
+        i = text.find(pat, s)
+        if i < 0:
+            return out
+        out.append(i)
+        s = i + 1
+
+
+def test_mem_walks_vs_bruteforce(toy_index, fm):
+    text = toy_index.ref_codes.tobytes()
+    rng = np.random.default_rng(11)
+    n = toy_index.seq_len
+    for _ in range(30):
+        pos = int(rng.integers(0, n - 120))
+        q = bytearray(text[pos : pos + 100])
+        for _ in range(int(rng.integers(0, 3))):
+            i = int(rng.integers(0, len(q)))
+            q[i] = (q[i] + 1 + int(rng.integers(0, 3))) % 4
+        q = bytes(q)
+        chars = np.frombuffer(q, dtype=np.uint8)[None, :]
+        lens, k0, freq = fm.mem_walk_batch(chars, np.ones_like(chars, dtype=bool))
+        ell = 0
+        while ell < len(q) and text.find(q[: ell + 1]) >= 0:
+            ell += 1
+        assert lens[0] == ell
+        assert freq[0] == len(_brute_occurrences(text, q[: int(lens[0])]))
+
+
+def test_locate_vs_bruteforce(toy_index, fm):
+    text = toy_index.ref_codes.tobytes()
+    rng = np.random.default_rng(12)
+    for _ in range(10):
+        pos = int(rng.integers(0, toy_index.seq_len - 40))
+        q = text[pos : pos + 24]
+        chars = np.frombuffer(q, dtype=np.uint8)[None, :]
+        lens, k0, freq = fm.mem_walk_batch(chars, np.ones_like(chars, dtype=bool))
+        rows = np.arange(int(k0[0]), int(k0[0]) + int(freq[0]))
+        locs = sorted(fm.locate(rows).tolist())
+        assert locs == _brute_occurrences(text, q[: int(lens[0])])
+
+
+def test_nw_implementations_agree():
+    rng = np.random.default_rng(13)
+    bases = b"ACGT"
+    for trial in range(60):
+        m = int(rng.integers(1, 70))
+        n = int(rng.integers(1, 70))
+        s1 = bytes(bases[i] for i in rng.integers(0, 4, m))
+        s2 = bytes(bases[i] for i in rng.integers(0, 4, n))
+        assert nw_align(s1, s2) == nw_align_numpy(s1, s2)
+
+
+def test_nw_known_case():
+    # AACCGG vs AACGG: the reference's overload quirk yields this exact
+    # (sub-optimal-looking) alignment — guards the semantics.
+    a1, a2 = nw_align(b"AACCGG", b"AACGG")
+    assert (a1, a2) == (b"AACCGG", b"-AACGG")
