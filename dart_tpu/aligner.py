@@ -35,22 +35,43 @@ from .pipeline.report import (
 from .pipeline.seeding import identify_seed_pairs_chunk
 
 
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get("DART_TPU_CACHE",
+                               os.path.expanduser("~/.cache/dart_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def make_engine(idx: Index, cfg: DartConfig):
     if cfg.engine == "jax":
+        _enable_compile_cache()
         from .ops.fm_jax import FMIndexJax
 
-        return FMIndexJax(idx)
+        return FMIndexJax(idx, max_dup_num=cfg.max_dup_num)
     from .ops.fm_numpy import FMIndexNumpy
 
-    return _NumpyEngine(FMIndexNumpy(idx))
+    return _NumpyEngine(FMIndexNumpy(idx), cfg.max_dup_num)
 
 
 class _NumpyEngine:
-    def __init__(self, fm):
+    def __init__(self, fm, max_dup_num: int = 100):
         self.fm = fm
+        self.max_dup_num = max_dup_num
 
     def mem_walks(self, chars, valid):
         return self.fm.mem_walk_batch(chars, valid)
+
+    def seed_reads(self, codes, rlens):
+        from .pipeline.seeding import seed_reads_from_all_walks
+
+        return seed_reads_from_all_walks(self, codes, rlens, self.max_dup_num)
 
     def locate(self, rows):
         return self.fm.locate(rows)
@@ -144,7 +165,8 @@ class DartAligner:
                 out_stream.write(line + "\n")
         files2 = cfg.read_files_2 if cfg.read_files_2 else [None] * len(cfg.read_files_1)
         for path1, path2 in zip(cfg.read_files_1, files2):
-            reader = ChunkReader(path1, path2, cfg.pair_end)
+            reader = ChunkReader(path1, path2, cfg.pair_end,
+                                 chunk_reads=cfg.batch_reads)
             pair_end = reader.pair_end
             while True:
                 reads = reader.next_chunk()

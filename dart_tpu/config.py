@@ -28,4 +28,4 @@ class DartConfig:
     debug: bool = False
     # dart_tpu extensions (not in the reference)
     engine: str = "numpy"           # numpy | jax  (device compute engine)
-    batch_reads: int = 4000
+    batch_reads: int = 16000  # device batch; output-invariant

@@ -98,7 +98,9 @@ def load_index(prefix: str) -> Index:
     sa_intv = int(sheader[5])
     n_sa = (seq_len + sa_intv) // sa_intv
     sa_samples = np.empty(n_sa, dtype=np.int64)
-    sa_samples[0] = seq_len
+    # Row 0 is the $ row; a locate walk that passes it needs steps-1,
+    # hence the -1 sentinel (bwt_index.cpp:31, bwt.c:122 comment).
+    sa_samples[0] = -1
     sa_samples[1:] = np.frombuffer(sdata[56:], dtype="<u8", count=n_sa - 1).astype(np.int64)
 
     # .ann / .pac

@@ -126,7 +126,12 @@ class ChunkReader:
     reverse-complemented (and its quality reversed) at load; a chunk
     closes at READ_CHUNK_SIZE reads or > 1 Mbase."""
 
-    def __init__(self, path1: str, path2: str | None, pair_end: bool):
+    def __init__(self, path1: str, path2: str | None, pair_end: bool,
+                 chunk_reads: int = READ_CHUNK_SIZE,
+                 chunk_bases: int | None = None):
+        self.chunk_reads = chunk_reads
+        self.chunk_bases = (chunk_bases if chunk_bases is not None
+                            else CHUNK_BASE_LIMIT * max(1, chunk_reads // READ_CHUNK_SIZE))
         gz = path1.endswith(".gz")
         self.fastq = _sniff_fastq(path1)
         self.r1 = _LineReader(path1, gz)
@@ -154,7 +159,7 @@ class ChunkReader:
             encode(b)
             out.append(b)
             bases += b.rlen
-            if len(out) >= READ_CHUNK_SIZE or bases > CHUNK_BASE_LIMIT:
+            if len(out) >= self.chunk_reads or bases > self.chunk_bases:
                 break
         return out
 

@@ -4,12 +4,12 @@ Reference: IdentifySeedPairs (AlignmentCandidates.cpp:181-215) — scan
 positions left to right, take the MEM at each, jump past accepted
 seeds (len >= 16 and occurrences <= MaxDupNum), else advance by one.
 
-TPU-first restructuring: instead of the reference's sequential
-walk-per-position loop, ALL positions' MEM walks run as one batched
-kernel (device or vectorized host), then a cheap scalar scan replays
-the jump sequence and a second batched pass locates the surviving
-seeds' occurrences. Results are identical; the heavy gather work is
-embarrassingly parallel.
+TPU-first restructuring: the whole scan runs as a batched device
+automaton (one lane per read, ops/fm_jax._seed_scan_kernel) returning a
+compact per-read seed table; a second batched pass locates every
+occurrence of every accepted seed. Engines without the automaton reuse
+seed_reads_from_all_walks: MEM walks from every position + a host
+replay of the jump sequence. Both paths produce identical seed lists.
 """
 
 from __future__ import annotations
@@ -20,89 +20,92 @@ from ..constants import MIN_SEED_LEN
 from .structs import SeedPair
 
 
-class SeedBatch:
-    """Per-chunk precomputed MEM walks + located seed occurrences."""
-
-    def __init__(self, reads, mems, seeds_per_read):
-        self.reads = reads
-        self.mems = mems
-        self.seeds_per_read = seeds_per_read
-
-
-def build_walk_tasks(reads) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Flatten all (read, start-position) MEM tasks of a chunk into a
-    fixed-width char matrix for the batched walk kernel."""
-    task_read = []
-    task_pos = []
-    max_len = 0
-    for ri, read in enumerate(reads):
-        end_pos = read.rlen - 13
-        for p in range(max(0, end_pos)):
-            if read.codes[p] <= 3:
-                task_read.append(ri)
-                task_pos.append(p)
-                if read.rlen - p > max_len:
-                    max_len = read.rlen - p
-    W = len(task_read)
-    chars = np.full((W, max(1, max_len)), 4, dtype=np.uint8)
-    valid = np.zeros((W, max(1, max_len)), dtype=bool)
-    for t in range(W):
-        read = reads[task_read[t]]
-        p = task_pos[t]
-        n = read.rlen - p
-        chars[t, :n] = read.codes[p:]
-        valid[t, :n] = True
-    return (np.asarray(task_read, dtype=np.int64),
-            np.asarray(task_pos, dtype=np.int64), chars, valid)
+def build_codes_matrix(reads) -> tuple[np.ndarray, np.ndarray]:
+    R = len(reads)
+    L = max((r.rlen for r in reads), default=1)
+    codes = np.full((R, L), 4, dtype=np.uint8)
+    rlens = np.zeros(R, dtype=np.int32)
+    for i, r in enumerate(reads):
+        codes[i, : r.rlen] = r.codes
+        rlens[i] = r.rlen
+    return codes, rlens
 
 
-def identify_seed_pairs_chunk(fm, reads, max_dup_num: int) -> list[list[SeedPair]]:
-    """Produce the reference's seed list for every read of a chunk using
-    two batched device passes (walks, then locates)."""
-    if not reads:
-        return []
-    task_read, task_pos, chars, valid = build_walk_tasks(reads)
-    if task_read.shape[0] == 0:
-        return [[] for _ in reads]
-    lens, k0, freq = fm.mem_walks(chars, valid)
+def seed_reads_from_all_walks(engine, codes: np.ndarray, rlens: np.ndarray,
+                              max_dup_num: int):
+    """Reference scan replay over precomputed all-position MEM walks.
+    Returns the same (n, rpos, slen, k0, freq) tables as the device
+    automaton."""
+    R, L = codes.shape
+    # tasks: every position (walks beyond rlen-14 are wasted but ignored
+    # by the replay); construct via sliding windows, no Python loops
+    padded = np.concatenate([codes, np.full((R, L), 4, dtype=np.uint8)], axis=1)
+    windows = np.lib.stride_tricks.sliding_window_view(padded, L, axis=1)[:, :L, :]
+    chars = np.ascontiguousarray(windows).reshape(R * L, L)
+    ii = np.arange(L, dtype=np.int32)
+    valid = (ii[None, :, None] + ii[None, None, :]) < rlens[:, None, None]
+    valid = valid.reshape(R * L, L)
+    lens, x0, freq = engine.mem_walks(chars, valid)
+    lens = lens.reshape(R, L)
+    x0 = x0.reshape(R, L)
+    freq = freq.reshape(R, L)
     accepted = (freq <= max_dup_num) & (lens >= MIN_SEED_LEN)
 
-    # map (read, pos) -> task index
-    task_of = {}
-    for t in range(task_read.shape[0]):
-        task_of[(int(task_read[t]), int(task_pos[t]))] = t
-
-    # replay the reference scan per read (IdentifySeedPairs :188-211)
-    emitted: list[tuple[int, int, int, int, int]] = []  # (read, rPos, len, k0, freq)
-    for ri, read in enumerate(reads):
-        end_pos = read.rlen - 13
+    S = L // 16 + 2
+    n_out = np.zeros(R, dtype=np.int32)
+    rpos_out = np.zeros((R, S), dtype=np.int32)
+    len_out = np.zeros((R, S), dtype=np.int32)
+    k0_out = np.zeros((R, S), dtype=np.int64)
+    freq_out = np.zeros((R, S), dtype=np.int32)
+    for r in range(R):
+        end_pos = int(rlens[r]) - 13
         pos = 0
         while pos < end_pos:
-            if read.codes[pos] > 3:
+            if codes[r, pos] > 3:
                 pos += 1
                 continue
-            t = task_of[(ri, pos)]
-            if accepted[t]:
-                emitted.append((ri, pos, int(lens[t]), int(k0[t]), int(freq[t])))
-                pos += int(lens[t])
+            if accepted[r, pos]:
+                s = n_out[r]
+                rpos_out[r, s] = pos
+                len_out[r, s] = lens[r, pos]
+                k0_out[r, s] = x0[r, pos]
+                freq_out[r, s] = freq[r, pos]
+                n_out[r] += 1
+                pos += int(lens[r, pos])
             else:
                 pos += 1
+    return n_out, rpos_out, len_out, k0_out, freq_out
 
-    # batched locate of every occurrence of every emitted seed
-    rows = []
-    for _, _, _, k, f in emitted:
-        rows.append(np.arange(k, k + f, dtype=np.int64))
-    all_rows = np.concatenate(rows) if rows else np.empty(0, dtype=np.int64)
-    locs = fm.locate(all_rows) if all_rows.shape[0] else all_rows
+
+def identify_seed_pairs_chunk(engine, reads, max_dup_num: int) -> list[list[SeedPair]]:
+    """Produce the reference's per-read seed lists for a chunk using two
+    batched device passes (seed scan, then occurrence locates)."""
+    if not reads:
+        return []
+    codes, rlens = build_codes_matrix(reads)
+    n, rpos, slen, k0, freq = engine.seed_reads(codes, rlens)
+
+    # flatten all occurrences for one batched locate
+    rows_list = []
+    for r in range(len(reads)):
+        for s in range(int(n[r])):
+            rows_list.append(np.arange(int(k0[r, s]), int(k0[r, s]) + int(freq[r, s]),
+                                       dtype=np.int64))
+    all_rows = np.concatenate(rows_list) if rows_list else np.empty(0, dtype=np.int64)
+    locs = engine.locate(all_rows) if all_rows.shape[0] else all_rows
 
     out: list[list[SeedPair]] = [[] for _ in reads]
     off = 0
-    for ri, r_pos, ln, _k, f in emitted:
-        for j in range(f):
-            g = int(locs[off + j])
-            out[ri].append(SeedPair(rPos=r_pos, gPos=g, rLen=ln, gLen=ln,
-                                    PosDiff=g - r_pos, bSimple=True))
-        off += f
-    for seeds in out:
-        seeds.sort(key=lambda s: (s.gPos, s.rPos))
+    for r in range(len(reads)):
+        seeds = out[r]
+        for s in range(int(n[r])):
+            p = int(rpos[r, s])
+            ln = int(slen[r, s])
+            f = int(freq[r, s])
+            for j in range(f):
+                g = int(locs[off + j])
+                seeds.append(SeedPair(rPos=p, gPos=g, rLen=ln, gLen=ln,
+                                      PosDiff=g - p, bSimple=True))
+            off += f
+        seeds.sort(key=lambda sp: (sp.gPos, sp.rPos))
     return out

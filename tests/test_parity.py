@@ -47,3 +47,13 @@ def test_output_parity(name, toy_index, data_dir, golden_dir, tmp_path, capsys):
     golden_sj = (golden_dir / f"{name}.junctions.tab").read_text()
     assert sam == golden_sam, f"SAM mismatch for {name}"
     assert sj == golden_sj, f"junction table mismatch for {name}"
+
+
+@pytest.mark.parametrize("name", ["c3_spliced", "c5_pe"])
+def test_output_parity_jax_engine(name, toy_index, data_dir, golden_dir, tmp_path, capsys):
+    """Same bit-for-bit outputs when the device (JAX) engine computes
+    the MEM walks and SA locates."""
+    sam, sj = run_config(name, CONFIGS[name], toy_index, data_dir, tmp_path,
+                         engine="jax")
+    assert sam == (golden_dir / f"{name}.sam").read_text()
+    assert sj == (golden_dir / f"{name}.junctions.tab").read_text()

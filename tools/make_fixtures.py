@@ -55,25 +55,34 @@ def plant_genes(rng: random.Random, chrom: str, n_genes: int, exons=(80, 220), i
     seq = list(chrom)
     genes = []
     cursor = 200
+    limit = len(chrom) - 5000
     for _ in range(n_genes):
         n_ex = rng.randrange(2, 5)
         exs = []
+        overrun = False
         for e in range(n_ex):
             elen = rng.randrange(*exons)
+            if cursor + elen >= limit:
+                overrun = True
+                break
             exs.append((cursor, cursor + elen))
             cursor += elen
             if e < n_ex - 1:
                 ilen = rng.randrange(*introns)
+                if cursor + ilen >= limit:
+                    overrun = True
+                    break
                 # stamp canonical GT/AG at intron ends
                 seq[cursor] = "G"
                 seq[cursor + 1] = "T"
                 seq[cursor + ilen - 2] = "A"
                 seq[cursor + ilen - 1] = "G"
                 cursor += ilen
-        genes.append(exs)
-        cursor += rng.randrange(500, 1500)
-        if cursor > len(chrom) - 5000:
+        if len(exs) >= 2:
+            genes.append(exs)
+        if overrun or cursor > limit:
             break
+        cursor += rng.randrange(500, 1500)
     return "".join(seq), genes
 
 
