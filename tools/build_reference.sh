@@ -34,6 +34,11 @@ EOF
 fi
 mkdir -p "$DST/libs"
 ln -sf /usr/lib/x86_64-linux-gnu/libbz2.so.1 "$DST/libs/libbz2.so" 2>/dev/null || true
+cd "$DST/src/htslib" && make -j8 libhts.a
+cd "$DST/src/BWT_Index" && make -j8
+mkdir -p "$DST/bin"
+cp "$DST/src/BWT_Index/bwt_index" "$DST/bin/" 2>/dev/null || true
 cd "$DST/src"
 make LIB="-L$DST/libs -lz -lm -lbz2 -llzma -lpthread -lstdc++"
+cp "$DST/src/dart" "$DST/bin/" 2>/dev/null || true
 ls -la "$DST/bin/"
