@@ -1,15 +1,22 @@
 """JAX/XLA FM-index engine: batched MEM walks and SA locates on device.
 
-TPU-first design:
+TPU-first design (v2 — shaped by measured v5e cost model):
 - The FM-index lives in HBM as a blocked layout: one uint32 row of 8
   words per 64 BWT bases — [occ_A, occ_C, occ_G, occ_T, w0, w1, w2, w3]
-  — so each Occ query is a single aligned 32-byte row gather plus
+  — so each Occ query is one aligned 32-byte row gather plus
   in-register popcounts (the reference's __occ_aux bit trick,
   bwt_search.cpp:34-41, widened to 32-bit lanes).
+- Dynamic gathers dominate: on v5e a gather op costs ~0.2 ms fixed
+  plus ~9 ns/row regardless of table size, so each loop iteration
+  performs exactly ONE row gather (the two Occ queries of a backward-
+  search step are batched into a single 2R-row gather) and everything
+  else is flat (R,)-shaped VPU work: 4-wide even-bit SWAR popcounts,
+  select trees instead of tiny-table gathers, one-hot reductions
+  instead of cross-lane take_along_axis for per-lane read characters.
 - Every (read, start-position) MEM task is one lane of a masked
-  fixed-trip scan (jax.lax.scan over read positions); every SA locate
-  is one lane of a 31-step masked LF-walk loop. No data-dependent
-  control flow — everything jit-compiles to static shapes.
+  fixed-trip scan; every SA locate is one lane of a masked LF-walk
+  while_loop. No data-dependent control flow — everything
+  jit-compiles to static shapes.
 - Row indices are int32: genomes up to 2^31 bases of fwd+RC text
   (~1 Gbp genome) per shard. Larger genomes shard the index over a
   mesh axis (see dart_tpu.parallel).
@@ -122,74 +129,115 @@ class FMIndexJax:
 
 
 # ---------------- kernels (pure jax; jitted above) ----------------
+#
+# Shared conventions: every per-lane value is a flat (N,) int32/uint32
+# vector; the only gathers are block-row fetches from the (n_blocks, 8)
+# table, merged so each loop iteration issues exactly one gather op.
 
 
-def _popcount2(x):
-    """Number of set bits in a uint32, SWAR."""
-    x = x - ((x >> 1) & jnp.uint32(0x55555555))
-    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
-    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
-    return (x * jnp.uint32(0x01010101)) >> 24
+def _pc_even(y):
+    """Popcount of a uint32 whose set bits sit on even positions."""
+    y2 = (y + (y >> 2)) & jnp.uint32(0x33333333)
+    y3 = (y2 + (y2 >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((y3 * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
 
 
-def _count_base_in_words(words, c, take):
-    """Occurrences of 2-bit base c within the first `take` bases of a
-    4-word (64-base) group. words: (..., 4) uint32; take: (...,) int32
-    in [0, 64]."""
-    lane = jnp.arange(4, dtype=jnp.int32)  # word index
-    take_w = jnp.clip(take[..., None] - lane * 16, 0, 16)  # bases per word
-    # mask keeps the first take_w bases (top bits first); clamp the
-    # shift to stay defined, then zero the take_w == 0 case explicitly
-    shift = jnp.minimum((16 - take_w) * 2, 31)
-    full = jnp.uint32(0xFFFFFFFF)
-    mask = jnp.where(take_w == 0, jnp.uint32(0),
-                     full << shift.astype(jnp.uint32))
-    wm = words & mask
-    # match lanes equal to c: y = ((c&2)? w : ~w)>>1 & ((c&1)? w : ~w) & 0x5555...
-    hi = jnp.where((c & 2) != 0, wm, ~wm)
-    lo = jnp.where((c & 1) != 0, wm, ~wm)
-    y = (hi >> 1) & lo & jnp.uint32(0x55555555)
-    cnt = _popcount2(y).astype(jnp.int32).sum(axis=-1)
-    # masked-out lanes read as base 0; correct when counting c == 0
+def _sel4(c, v0, v1, v2, v3):
+    """Per-lane 4-way select by c in 0..3 (cheaper than a tiny gather)."""
+    lo = jnp.where((c & 1) != 0, v1, v0)
+    hi = jnp.where((c & 1) != 0, v3, v2)
+    return jnp.where((c & 2) != 0, hi, lo)
+
+
+def _l2_lookup(L2, c):
+    """L2[c] for per-lane c in 0..4 as a select tree."""
+    r = jnp.where(c == 0, L2[0], L2[4])
+    for i in (1, 2, 3):
+        r = jnp.where(c == i, L2[i], r)
+    return r
+
+
+def _word_masks(take):
+    """Masks keeping the first `take` (1..64) bases of a 4-word group,
+    top bits first."""
+    ms = []
+    for j in range(4):
+        tw = jnp.clip(take - j * 16, 0, 16)
+        shift = jnp.minimum((16 - tw) * 2, 31)
+        m = jnp.where(tw == 0, jnp.uint32(0),
+                      jnp.uint32(0xFFFFFFFF) << shift.astype(jnp.uint32))
+        ms.append(m)
+    return ms
+
+
+def _occ4_cols(cols, kk):
+    """Occ(kk, c) for all c given the 8 gathered row columns.
+    kk (N,) int32 >= 0 (already primary-adjusted). Returns 4 x (N,)."""
+    take = (kk & 63) + 1
+    masks = _word_masks(take)
+    wms = [cols[4 + j] & masks[j] for j in range(4)]
     pad = 64 - take
-    cnt = jnp.where(c == 0, cnt - pad, cnt)
-    return cnt
+    out = []
+    for c in range(4):
+        cnt = jnp.zeros_like(kk)
+        for wm in wms:
+            hi = wm if (c & 2) else ~wm
+            lo = wm if (c & 1) else ~wm
+            cnt = cnt + _pc_even((hi >> 1) & lo & jnp.uint32(0x55555555))
+        if c == 0:
+            cnt = cnt - pad  # masked-off bases read as base 0
+        out.append(cols[c].astype(jnp.int32) + cnt)
+    return out
 
 
-def _occ4(blocks, k, primary):
-    """Occ(k, c) for c in 0..3; k int32 (…,). k == -1 -> zeros.
-    (bwt_occ4 semantics, bwt_search.cpp:67-84)."""
-    kk = k - (k >= primary).astype(jnp.int32)
-    kk_safe = jnp.maximum(kk, 0)
-    block = kk_safe >> 6
-    take = (kk_safe & 63) + 1
-    row = blocks[block]                       # (..., 8) uint32
-    base_counts = row[..., :4].astype(jnp.int32)
-    words = row[..., 4:8]
-    cs = jnp.arange(4, dtype=jnp.int32)
-    incr = jnp.stack(
-        [_count_base_in_words(words, c, take) for c in range(4)], axis=-1)
-    del cs
-    res = base_counts + incr
-    return jnp.where((k == -1)[..., None], 0, res)
+def _occ4_pair(blocks, k1, k2, primary):
+    """Occ4 at two positions with ONE merged row gather
+    (bwt_2occ4 semantics, bwt_search.cpp:86-125).
+    Returns (tk[0..3], tl[0..3]) as 8 (N,) int32 vectors."""
+    n = k1.shape[0]
+    kk1 = jnp.maximum(k1 - (k1 >= primary).astype(jnp.int32), 0)
+    kk2 = jnp.maximum(k2 - (k2 >= primary).astype(jnp.int32), 0)
+    kk = jnp.concatenate([kk1, kk2])
+    rows = blocks[kk >> 6]                      # (2N, 8) single gather
+    cols = [rows[:, j] for j in range(8)]
+    occ = _occ4_cols(cols, kk)
+    zero1 = (k1 == -1)
+    zero2 = (k2 == -1)
+    tk = [jnp.where(zero1, 0, o[:n]) for o in occ]
+    tl = [jnp.where(zero2, 0, o[n:]) for o in occ]
+    return tk, tl
 
 
-def _bwt_char(blocks, x):
-    """BWT code at stored position x (bwt_B0)."""
-    row = blocks[x >> 6]
-    word = jnp.take_along_axis(row, (4 + ((x >> 4) & 3))[..., None], axis=-1)[..., 0]
-    shift = ((~x & 15) << 1).astype(jnp.uint32)
-    return ((word >> shift) & 3).astype(jnp.int32)
+def _backward_ext_state(L2, x0, x1, x2, tk, tl, primary):
+    """Shared bidirectional-interval update: given occ4 results at
+    x1-1 / x1-1+x2, produce per-base candidate (start, new_x1, width)
+    select inputs (BWT_Search extension, bwt_search.cpp:150-171)."""
+    w = [tl[c] - tk[c] for c in range(4)]
+    adj = ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(jnp.int32)
+    s3 = x0 + adj
+    s2 = s3 + w[3]
+    s1 = s2 + w[2]
+    s0 = s1 + w[1]
+    starts = (s0, s1, s2, s3)
+    nx1 = tuple(L2[c] + 1 + tk[c] for c in range(4))
+    return starts, nx1, w
+
+
+def _char_onehot(codes_i, iota_l, p):
+    """codes_i[(lane, p[lane])] via a one-hot reduction (cross-lane
+    take_along_axis is pathologically slow on TPU)."""
+    oh = iota_l == p[:, None]
+    return jnp.sum(jnp.where(oh, codes_i, 0), axis=1)
 
 
 def _mem_walks_kernel(blocks, L2, chars, valid, *, primary):
     """Batched forward-MEM walks (BWT_Search semantics). chars (W, L)
-    uint8; returns (lens, x0, x2) int32."""
-    W, L = chars.shape
+    uint8; returns (lens, x0, x2) int32. Characters stream through the
+    scan as xs — no per-lane char gathers."""
     c0 = jnp.minimum(chars[:, 0].astype(jnp.int32), 3)
-    x0 = L2[c0] + 1
-    x1 = L2[3 - c0] + 1
-    x2 = L2[c0 + 1] - L2[c0]
+    x0 = _l2_lookup(L2, c0) + 1
+    x1 = _l2_lookup(L2, 3 - c0) + 1
+    x2 = _l2_lookup(L2, c0 + 1) - _l2_lookup(L2, c0)
     started = valid[:, 0] & (chars[:, 0] <= 3)
     lens = jnp.where(started, 1, 0).astype(jnp.int32)
 
@@ -198,23 +246,14 @@ def _mem_walks_kernel(blocks, L2, chars, valid, *, primary):
         ch, ok = inp
         ch = ch.astype(jnp.int32)
         live = active & ok & (ch <= 3)
-        tk = _occ4(blocks, x1 - 1, primary)
-        tl = _occ4(blocks, x1 - 1 + x2, primary)
-        widths = tl - tk                      # (W, 4)
-        new_x1 = L2[:4][None, :] + 1 + tk
-        adj = ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(jnp.int32)
-        s3 = x0 + adj
-        s2 = s3 + widths[:, 3]
-        s1 = s2 + widths[:, 2]
-        s0 = s1 + widths[:, 1]
-        starts = jnp.stack([s0, s1, s2, s3], axis=1)
-        ci = 3 - ch
-        rows = jnp.arange(W)
-        w = widths[rows, ci]
-        upd = live & (w > 0)
-        x0 = jnp.where(upd, starts[rows, ci], x0)
-        x1 = jnp.where(upd, new_x1[rows, ci], x1)
-        x2 = jnp.where(upd, w, x2)
+        tk, tl = _occ4_pair(blocks, x1 - 1, x1 - 1 + x2, primary)
+        starts, nx1, w = _backward_ext_state(L2, x0, x1, x2, tk, tl, primary)
+        ci = 3 - jnp.minimum(ch, 3)
+        wi = _sel4(ci, *w)
+        upd = live & (wi > 0)
+        x0 = jnp.where(upd, _sel4(ci, *starts), x0)
+        x1 = jnp.where(upd, _sel4(ci, *nx1), x1)
+        x2 = jnp.where(upd, wi, x2)
         lens = jnp.where(upd, lens + 1, lens)
         return (x0, x1, x2, lens, upd), None
 
@@ -233,11 +272,15 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, *, primary, max_dup, max_seeds):
     emitted and the scan jumps past them; otherwise it advances by one.
 
     Work per read is ~2x read length occ4 queries — the same count the
-    reference performs — instead of walking from every position.
+    reference performs — instead of walking from every position. Seed
+    emission into the (S, R) output slabs happens at most once per lane
+    per iteration and is gated behind a lax.cond so iterations with no
+    emissions anywhere skip the slab traffic entirely.
     """
     R, L = codes.shape
     S = max_seeds
-    rows = jnp.arange(R, dtype=jnp.int32)
+    codes_i = codes.astype(jnp.int32)            # (R, L)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
 
     end_pos = jnp.maximum(rlens - 13, 0)
     pos = jnp.zeros(R, jnp.int32)
@@ -247,17 +290,11 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, *, primary, max_dup, max_seeds):
     x2 = jnp.zeros(R, jnp.int32)
     nseeds = jnp.zeros(R, jnp.int32)
     done = pos >= end_pos
-    # outputs as (S, R): emitted via masked selects (XLA scatter on TPU
-    # serializes; a one-hot select over <= S slots is pure VPU work)
     out_rpos = jnp.zeros((S, R), jnp.int32)
     out_len = jnp.zeros((S, R), jnp.int32)
     out_k0 = jnp.zeros((S, R), jnp.int32)
     out_freq = jnp.zeros((S, R), jnp.int32)
-    slot_ids = jnp.arange(S, dtype=jnp.int32)[:, None]
-
-    def char_at(idx):
-        safe = jnp.clip(idx, 0, L - 1)
-        return jnp.take_along_axis(codes, safe[:, None], axis=1)[:, 0].astype(jnp.int32)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
 
     def cond(st):
         return jnp.any(~st[0])
@@ -269,41 +306,44 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, *, primary, max_dup, max_seeds):
         initing = (~done) & (cur == pos)
         extending = (~done) & (cur > pos)
 
-        # ---- init branch ----
-        c_pos = char_at(pos)
-        amb = c_pos > 3
-        c_safe = jnp.minimum(c_pos, 3)
-        i_x0 = L2[c_safe] + 1
-        i_x1 = L2[3 - c_safe] + 1
-        i_x2 = L2[c_safe + 1] - L2[c_safe]
+        # one one-hot char read serves both branches: initing lanes
+        # have cur == pos, so charat(cur) == charat(pos)
+        safe_cur = jnp.minimum(cur, L - 1)
+        ch_raw = _char_onehot(codes_i, iota_l, safe_cur)
+        ch = jnp.where(cur < rlens, ch_raw, 4)
+        amb = ch > 3
+        c_safe = jnp.minimum(ch, 3)
 
-        # ---- extend branch (occ on current interval) ----
-        ch = jnp.where(cur < rlens, char_at(cur), 4)
+        # ---- init values ----
+        i_x0 = _l2_lookup(L2, c_safe) + 1
+        i_x1 = _l2_lookup(L2, 3 - c_safe) + 1
+        i_x2 = _l2_lookup(L2, c_safe + 1) - _l2_lookup(L2, c_safe)
+
+        # ---- extend values (one merged occ gather) ----
         q1 = jnp.where(extending, x1 - 1, 0)
         q2 = jnp.where(extending, x1 - 1 + x2, 0)
-        tk = _occ4(blocks, q1, primary)
-        tl = _occ4(blocks, q2, primary)
-        widths = tl - tk
-        new_x1s = L2[:4][None, :] + 1 + tk
-        adj = ((x1 <= primary) & (x1 + x2 - 1 >= primary)).astype(jnp.int32)
-        s3 = x0 + adj
-        s2 = s3 + widths[:, 3]
-        s1 = s2 + widths[:, 2]
-        s0 = s1 + widths[:, 1]
-        starts = jnp.stack([s0, s1, s2, s3], axis=1)
-        ci = 3 - jnp.minimum(ch, 3)
-        w = widths[rows, ci]
-        can_extend = extending & (ch <= 3) & (w > 0)
+        tk, tl = _occ4_pair(blocks, q1, q2, primary)
+        starts, nx1, w = _backward_ext_state(L2, x0, x1, x2, tk, tl, primary)
+        ci = 3 - c_safe
+        wi = _sel4(ci, *w)
+        can_extend = extending & ~amb & (wi > 0)
         seed_end = extending & ~can_extend
 
         # ---- seed end: accept/emit/jump ----
         length = cur - pos
         acc = seed_end & (x2 <= max_dup) & (length >= 16)
-        hit = acc[None, :] & (slot_ids == nseeds[None, :])  # (S, R)
-        out_rpos = jnp.where(hit, pos[None, :], out_rpos)
-        out_len = jnp.where(hit, length[None, :], out_len)
-        out_k0 = jnp.where(hit, x0[None, :], out_k0)
-        out_freq = jnp.where(hit, x2[None, :], out_freq)
+
+        def emit(args):
+            o_rpos, o_len, o_k0, o_freq = args
+            hit = acc[None, :] & (slot_ids == nseeds[None, :])  # (S, R)
+            return (jnp.where(hit, pos[None, :], o_rpos),
+                    jnp.where(hit, length[None, :], o_len),
+                    jnp.where(hit, x0[None, :], o_k0),
+                    jnp.where(hit, x2[None, :], o_freq))
+
+        out_rpos, out_len, out_k0, out_freq = jax.lax.cond(
+            jnp.any(acc), emit, lambda a: a,
+            (out_rpos, out_len, out_k0, out_freq))
         nseeds = jnp.where(acc, nseeds + 1, nseeds)
 
         # ---- state update ----
@@ -311,11 +351,14 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, *, primary, max_dup, max_seeds):
                             jnp.where(initing & amb, pos + 1, pos))
         new_cur = jnp.where(can_extend, cur + 1,
                             jnp.where(initing & ~amb, cur + 1, new_pos))
-        x0 = jnp.where(can_extend, starts[rows, ci], jnp.where(initing & ~amb, i_x0, x0))
-        x1 = jnp.where(can_extend, new_x1s[rows, ci], jnp.where(initing & ~amb, i_x1, x1))
-        x2 = jnp.where(can_extend, w, jnp.where(initing & ~amb, i_x2, x2))
+        x0n = jnp.where(can_extend, _sel4(ci, *starts),
+                        jnp.where(initing & ~amb, i_x0, x0))
+        x1n = jnp.where(can_extend, _sel4(ci, *nx1),
+                        jnp.where(initing & ~amb, i_x1, x1))
+        x2n = jnp.where(can_extend, wi,
+                        jnp.where(initing & ~amb, i_x2, x2))
         done = done | (new_pos >= end_pos)
-        return (done, new_pos, new_cur, x0, x1, x2, nseeds,
+        return (done, new_pos, new_cur, x0n, x1n, x2n, nseeds,
                 out_rpos, out_len, out_k0, out_freq)
 
     st = (done, pos, cur, x0, x1, x2, nseeds,
@@ -325,17 +368,11 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, *, primary, max_dup, max_seeds):
     return nseeds, out_rpos.T, out_len.T, out_k0.T, out_freq.T
 
 
-def _occ_c(blocks, k, c, primary, seq_len_unused=None):
-    """bwt_occ(k, c): select base c from occ4."""
-    full = _occ4(blocks, k, primary)
-    return jnp.take_along_axis(full, c[..., None], axis=-1)[..., 0]
-
-
 def _locate_kernel(blocks, L2, sa_samples, k, *, primary, sa_intv):
     """Batched bwt_sa: LF-walk each row until it hits a sampled row
     (row index % intv == 0), then add the sample
-    (bwt_search.cpp:127-137). Walk length is unbounded (mean ~intv),
-    so this is a while_loop over the whole batch with per-lane masks."""
+    (bwt_search.cpp:127-137). One merged row gather per iteration
+    serves both the BWT character read and the Occ count."""
     steps = jnp.zeros_like(k)
     mask = sa_intv - 1
 
@@ -346,9 +383,28 @@ def _locate_kernel(blocks, L2, sa_samples, k, *, primary, sa_intv):
     def body(carry):
         k, steps = carry
         active = (k & mask) != 0
+        kk = jnp.maximum(k - (k >= primary).astype(jnp.int32), 0)
         x = k - (k > primary).astype(jnp.int32)
-        c = _bwt_char(blocks, x)
-        nxt = L2[c] + _occ_c(blocks, k, c, primary)
+        # x>>6 == kk>>6 except at k == primary, whose result is
+        # overridden below — one gather serves char and occ
+        rows = blocks[kk >> 6]
+        cols = [rows[:, j] for j in range(8)]
+        word = _sel4((x >> 4) & 3, cols[4], cols[5], cols[6], cols[7])
+        shift = ((~x & 15) << 1).astype(jnp.uint32)
+        c = ((word >> shift) & 3).astype(jnp.int32)
+        # occ(k, c) for the per-lane c
+        take = (kk & 63) + 1
+        masks = _word_masks(take)
+        cnt = jnp.zeros_like(k)
+        for j in range(4):
+            wm = cols[4 + j] & masks[j]
+            hi = jnp.where((c & 2) != 0, wm, ~wm)
+            lo = jnp.where((c & 1) != 0, wm, ~wm)
+            cnt = cnt + _pc_even((hi >> 1) & lo & jnp.uint32(0x55555555))
+        cnt = jnp.where(c == 0, cnt - (64 - take), cnt)
+        base = _sel4(c, cols[0].astype(jnp.int32), cols[1].astype(jnp.int32),
+                     cols[2].astype(jnp.int32), cols[3].astype(jnp.int32))
+        nxt = _l2_lookup(L2, c) + base + cnt
         nxt = jnp.where(k == primary, 0, nxt)
         k2 = jnp.where(active, nxt, k)
         steps2 = jnp.where(active, steps + 1, steps)
