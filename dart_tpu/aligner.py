@@ -84,10 +84,29 @@ class DartAligner:
         self.engine = engine if engine is not None else make_engine(idx, cfg)
         self.sj_map: dict = {}
         self.counters = {"total": 0, "unique": 0, "unmapped": 0, "paired": 0}
+        self.native = None
+        if cfg.native:
+            try:
+                from .pipeline.native_chunk import NativePipeline
+
+                self.native = NativePipeline(idx, cfg)
+            except Exception:
+                self.native = None
 
     # ---- per-chunk processing ----
 
-    def process_chunk(self, reads, pair_end: bool, fastq: bool) -> list[str]:
+    def process_chunk(self, reads, pair_end: bool, fastq: bool):
+        if self.native is not None:
+            from .pipeline.seeding import seed_occurrence_tables
+
+            occ_off, occ_rpos, occ_len, occ_gpos = seed_occurrence_tables(
+                self.engine, reads)
+            return self.native.process_chunk(
+                reads, pair_end and len(reads) % 2 == 0, fastq,
+                occ_off, occ_rpos, occ_len, occ_gpos, self.counters)
+        return self._process_chunk_py(reads, pair_end, fastq)
+
+    def _process_chunk_py(self, reads, pair_end: bool, fastq: bool) -> list[str]:
         cfg = self.cfg
         idx = self.idx
         seeds_per_read = identify_seed_pairs_chunk(self.engine, reads, cfg.max_dup_num)
@@ -173,7 +192,13 @@ class DartAligner:
                 if not reads:
                     break
                 sam = self.process_chunk(reads, pair_end, reader.fastq)
-                if writer is not None:
+                if isinstance(sam, bytes):
+                    if writer is not None:
+                        for line in sam.decode("latin-1").splitlines():
+                            writer.write_record(line)
+                    else:
+                        out_stream.write(sam.decode("latin-1"))
+                elif writer is not None:
                     for line in sam:
                         writer.write_record(line)
                 else:
@@ -191,6 +216,9 @@ class DartAligner:
                 writer.close()
             else:
                 out_stream.close()
+        if self.native is not None:
+            for g1, g2, sj_type, count in self.native.sj_items():
+                self.sj_map[(int(g1), int(g2))] = [int(sj_type), int(count)]
         n_sj = write_sj_table(self.idx, self.sj_map, cfg.sj_file)
         if not cfg.silent:
             print("", file=sys.stderr)

@@ -104,6 +104,8 @@ def parse_args(argv: list[str]) -> DartConfig | None:
         elif a == "--engine":
             i += 1
             cfg.engine = argv[i]
+        elif a == "--no-native":
+            cfg.native = False
         else:
             print(f"Error! Unknown parameter: {a}", file=sys.stderr)
             usage("dart-tpu")

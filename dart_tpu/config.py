@@ -29,3 +29,4 @@ class DartConfig:
     # dart_tpu extensions (not in the reference)
     engine: str = "numpy"           # numpy | jax  (device compute engine)
     batch_reads: int = 16000  # device batch; output-invariant
+    native: bool = True       # C++ host pipeline (fallback: pure Python)

@@ -70,36 +70,90 @@ class FMIndexJax:
         self.max_dup_num = int(max_dup_num)
         self._walk_jit = jax.jit(functools.partial(
             _mem_walks_kernel, primary=self.primary))
-        self._locate_jit = jax.jit(functools.partial(
-            _locate_kernel, primary=self.primary, sa_intv=self.sa_intv))
+        self._locate_jit = {}
         self._seed_jit = {}
 
     def seed_reads(self, codes: np.ndarray, rlens: np.ndarray):
         """Batched reference seeding scan (IdentifySeedPairs jump
         semantics) as a device automaton: one lane per read. Returns
-        (n_seeds (R,), rpos/length/k0/freq (R, S)) int32/int64."""
+        (n_seeds (R,), rpos/length/k0/freq (R, S)) int32/int64.
+
+        The scan runs in bounded blocks of T iterations; lanes still
+        running after a block are compacted to a smaller power-of-two
+        batch and resumed, so a handful of straggler reads (repetitive
+        sequence walks are O(len^2)) do not hold the full batch width
+        hostage. Both the block kernel and every compaction bucket are
+        fixed shapes -> a small closed set of compiled programs.
+
+        Host<->device traffic is ONE packed int32 buffer each way per
+        block: the relay charges ~30 ms latency per transfer regardless
+        of size, so the whole automaton state travels as a single
+        concatenated array (7 lane vectors + 4 SxR output slabs).
+        """
         R, L = codes.shape
-        Rp = self._pad_up(R, 1024)
         Lp = max(32, -(-L // 32) * 32)
         S = Lp // 16 + 2
-        cp = np.full((Rp, Lp), 4, dtype=np.uint8)
-        cp[:R, :L] = codes
-        rl = np.zeros(Rp, dtype=np.int32)
-        rl[:R] = rlens
-        key = (Rp, Lp)
-        if key not in self._seed_jit:
-            self._seed_jit[key] = jax.jit(functools.partial(
-                _seed_scan_kernel, primary=self.primary,
-                max_dup=self.max_dup_num, max_seeds=S))
-        n, rpos, length, k0, freq = self._seed_jit[key](
-            self.blocks, self.L2, jnp.asarray(cp), jnp.asarray(rl))
-        return (np.asarray(n[:R]), np.asarray(rpos[:R]),
-                np.asarray(length[:R]), np.asarray(k0[:R]),
-                np.asarray(freq[:R]))
+        n_out = np.zeros(R, dtype=np.int32)
+        rpos_out = np.zeros((R, S), dtype=np.int32)
+        len_out = np.zeros((R, S), dtype=np.int32)
+        k0_out = np.zeros((R, S), dtype=np.int32)
+        freq_out = np.zeros((R, S), dtype=np.int32)
+
+        lane_ids = np.arange(R, dtype=np.int64)
+        cur_codes = codes
+        cur_rlens = np.asarray(rlens, dtype=np.int32)
+        state = None  # packed (Rp, 7+4S) int32 rows for resumed lanes
+        T = 160
+        while lane_ids.size:
+            nlive = lane_ids.size
+            Rp = self._pad_up(nlive, 1024)
+            cp = np.full((Rp, Lp), 4, dtype=np.uint8)
+            cp[:nlive, :L] = cur_codes
+            rl = np.zeros(Rp, dtype=np.int32)
+            rl[:nlive] = cur_rlens
+            key = (Rp, Lp, T, state is not None)
+            if key not in self._seed_jit:
+                self._seed_jit[key] = jax.jit(functools.partial(
+                    _seed_scan_packed, primary=self.primary,
+                    max_dup=self.max_dup_num, max_seeds=S, max_iters=T))
+            if state is None:
+                st_dev = None
+            else:
+                pad = np.zeros((Rp, state.shape[1]), dtype=np.int32)
+                pad[:, 0] = 1  # done
+                pad[:nlive] = state
+                st_dev = jnp.asarray(pad)
+            packed = np.asarray(self._seed_jit[key](
+                self.blocks, self.L2, jnp.asarray(cp), jnp.asarray(rl),
+                st_dev))                        # (Rp, 7+4S) — one transfer
+            host = packed[:nlive]
+            done = host[:, 0] != 0
+            fin = np.nonzero(done)[0]
+            ids = lane_ids[fin]
+            n_out[ids] = host[fin, 6]
+            k = 7
+            rpos_out[ids] = host[fin, k:k + S]
+            len_out[ids] = host[fin, k + S:k + 2 * S]
+            k0_out[ids] = host[fin, k + 2 * S:k + 3 * S]
+            freq_out[ids] = host[fin, k + 3 * S:k + 4 * S]
+            live = np.nonzero(~done)[0]
+            if live.size == 0:
+                break
+            lane_ids = lane_ids[live]
+            cur_codes = cur_codes[live]
+            cur_rlens = cur_rlens[live]
+            state = host[live]
+            T = 512  # straggler rounds: longer blocks at smaller width
+        return (n_out, rpos_out, len_out,
+                k0_out.astype(np.int64), freq_out)
 
     @staticmethod
-    def _pad_up(n: int, quantum: int = 4096) -> int:
-        return max(quantum, (n + quantum - 1) // quantum * quantum)
+    def _pad_up(n: int, floor: int = 4096) -> int:
+        """Next power of two (>= floor): a small closed set of shapes."""
+        p = floor
+        while p < n:
+            p <<= 1
+        return p
 
     def mem_walks(self, chars: np.ndarray, valid: np.ndarray):
         W, L = chars.shape
@@ -117,15 +171,46 @@ class FMIndexJax:
                 np.asarray(x2[:W], dtype=np.int64))
 
     def locate(self, rows: np.ndarray) -> np.ndarray:
+        """Batched SA lookups with straggler compaction: LF-walk length
+        is geometric with mean sa_intv/2 but its max over a large batch
+        is ~sa_intv*ln(batch); unfinished lanes are compacted to smaller
+        power-of-two batches and resumed rather than holding the full
+        batch width for the tail."""
         n = rows.shape[0]
         if n == 0:
             return np.empty(0, dtype=np.int64)
-        npad = self._pad_up(n)
-        rp = np.zeros(npad, dtype=np.int32)
-        rp[:n] = rows
-        out = self._locate_jit(self.blocks, self.L2, self.sa_samples,
-                               jnp.asarray(rp))
-        return np.asarray(out[:n], dtype=np.int64)
+        out = np.zeros(n, dtype=np.int64)
+        lane_ids = np.arange(n, dtype=np.int64)
+        cur_k = np.asarray(rows, dtype=np.int32)
+        cur_steps = np.zeros(n, dtype=np.int32)
+        T = 3 * self.sa_intv // 2
+        while lane_ids.size:
+            npad = self._pad_up(lane_ids.size, 1024)
+            kp = np.zeros(npad, dtype=np.int32)
+            kp[: lane_ids.size] = cur_k
+            sp = np.zeros(npad, dtype=np.int32)
+            sp[: lane_ids.size] = cur_steps
+            key = (npad, T)
+            if key not in self._locate_jit:
+                self._locate_jit[key] = jax.jit(functools.partial(
+                    _locate_packed, primary=self.primary,
+                    sa_intv=self.sa_intv, max_iters=T))
+            packed = np.asarray(self._locate_jit[key](
+                self.blocks, self.L2, self.sa_samples,
+                jnp.asarray(kp), jnp.asarray(sp)))  # (npad, 3), one transfer
+            k2 = packed[: lane_ids.size, 0]
+            s2 = packed[: lane_ids.size, 1]
+            loc = packed[: lane_ids.size, 2]
+            fin = (k2 & (self.sa_intv - 1)) == 0
+            out[lane_ids[fin]] = loc[fin]
+            live = ~fin
+            if not live.any():
+                break
+            lane_ids = lane_ids[live]
+            cur_k = k2[live]
+            cur_steps = s2[live]
+            T = 8 * self.sa_intv
+        return out
 
 
 # ---------------- kernels (pure jax; jitted above) ----------------
@@ -263,7 +348,33 @@ def _mem_walks_kernel(blocks, L2, chars, valid, *, primary):
     return lens, x0, x2
 
 
-def _seed_scan_kernel(blocks, L2, codes, rlens, *, primary, max_dup, max_seeds):
+def _seed_scan_packed(blocks, L2, codes, rlens, packed, *, primary, max_dup,
+                      max_seeds, max_iters):
+    """Packed-transfer wrapper: the automaton state crosses the
+    host<->device boundary as one (R, 7+4S) int32 array — the relay
+    charges flat per-transfer latency, so one buffer beats eleven."""
+    S = max_seeds
+    if packed is None:
+        state = None
+    else:
+        done = packed[:, 0] != 0
+        pos, cur, x0, x1, x2, nseeds = (packed[:, i] for i in range(1, 7))
+        k = 7
+        state = (done, pos, cur, x0, x1, x2, nseeds,
+                 packed[:, k:k + S].T, packed[:, k + S:k + 2 * S].T,
+                 packed[:, k + 2 * S:k + 3 * S].T,
+                 packed[:, k + 3 * S:k + 4 * S].T)
+    st = _seed_scan_kernel(blocks, L2, codes, rlens, state, primary=primary,
+                           max_dup=max_dup, max_seeds=S, max_iters=max_iters)
+    (done, pos, cur, x0, x1, x2, nseeds, o_rpos, o_len, o_k0, o_freq) = st
+    cols = [done.astype(jnp.int32)[:, None], pos[:, None], cur[:, None],
+            x0[:, None], x1[:, None], x2[:, None], nseeds[:, None],
+            o_rpos.T, o_len.T, o_k0.T, o_freq.T]
+    return jnp.concatenate(cols, axis=1)
+
+
+def _seed_scan_kernel(blocks, L2, codes, rlens, state, *, primary, max_dup,
+                      max_seeds, max_iters):
     """Device automaton replaying the reference seeding scan
     (IdentifySeedPairs, AlignmentCandidates.cpp:188-211): one lane per
     read; each iteration either (re)initializes the bidirectional
@@ -276,6 +387,9 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, *, primary, max_dup, max_seeds):
     emission into the (S, R) output slabs happens at most once per lane
     per iteration and is gated behind a lax.cond so iterations with no
     emissions anywhere skip the slab traffic entirely.
+
+    Runs at most max_iters iterations and returns the full state tuple
+    (done first) so the host can compact unfinished lanes and resume.
     """
     R, L = codes.shape
     S = max_seeds
@@ -283,23 +397,28 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, *, primary, max_dup, max_seeds):
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
 
     end_pos = jnp.maximum(rlens - 13, 0)
-    pos = jnp.zeros(R, jnp.int32)
-    cur = jnp.zeros(R, jnp.int32)   # cur == pos -> interval not initialized
-    x0 = jnp.zeros(R, jnp.int32)
-    x1 = jnp.zeros(R, jnp.int32)
-    x2 = jnp.zeros(R, jnp.int32)
-    nseeds = jnp.zeros(R, jnp.int32)
-    done = pos >= end_pos
-    out_rpos = jnp.zeros((S, R), jnp.int32)
-    out_len = jnp.zeros((S, R), jnp.int32)
-    out_k0 = jnp.zeros((S, R), jnp.int32)
-    out_freq = jnp.zeros((S, R), jnp.int32)
+    if state is None:
+        pos = jnp.zeros(R, jnp.int32)
+        cur = jnp.zeros(R, jnp.int32)  # cur == pos -> not initialized
+        x0 = jnp.zeros(R, jnp.int32)
+        x1 = jnp.zeros(R, jnp.int32)
+        x2 = jnp.zeros(R, jnp.int32)
+        nseeds = jnp.zeros(R, jnp.int32)
+        done = pos >= end_pos
+        out_rpos = jnp.zeros((S, R), jnp.int32)
+        out_len = jnp.zeros((S, R), jnp.int32)
+        out_k0 = jnp.zeros((S, R), jnp.int32)
+        out_freq = jnp.zeros((S, R), jnp.int32)
+    else:
+        (done, pos, cur, x0, x1, x2, nseeds,
+         out_rpos, out_len, out_k0, out_freq) = state
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
 
     def cond(st):
-        return jnp.any(~st[0])
+        return jnp.any(~st[0][0]) & (st[1] < max_iters)
 
-    def body(st):
+    def body(outer_st):
+        st, it = outer_st
         (done, pos, cur, x0, x1, x2, nseeds,
          out_rpos, out_len, out_k0, out_freq) = st
 
@@ -358,30 +477,40 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, *, primary, max_dup, max_seeds):
         x2n = jnp.where(can_extend, wi,
                         jnp.where(initing & ~amb, i_x2, x2))
         done = done | (new_pos >= end_pos)
-        return (done, new_pos, new_cur, x0n, x1n, x2n, nseeds,
-                out_rpos, out_len, out_k0, out_freq)
+        return ((done, new_pos, new_cur, x0n, x1n, x2n, nseeds,
+                 out_rpos, out_len, out_k0, out_freq), it + 1)
 
     st = (done, pos, cur, x0, x1, x2, nseeds,
           out_rpos, out_len, out_k0, out_freq)
-    st = jax.lax.while_loop(cond, body, st)
-    (_, _, _, _, _, _, nseeds, out_rpos, out_len, out_k0, out_freq) = st
-    return nseeds, out_rpos.T, out_len.T, out_k0.T, out_freq.T
+    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+    return st
 
 
-def _locate_kernel(blocks, L2, sa_samples, k, *, primary, sa_intv):
+def _locate_packed(blocks, L2, sa_samples, k, steps, *, primary, sa_intv,
+                   max_iters):
+    """Packed-transfer wrapper for _locate_kernel (one d2h buffer).
+    Locations fit int32: device layouts require seq_len < 2^31."""
+    k2, s2, loc = _locate_kernel(blocks, L2, sa_samples, k, steps,
+                                 primary=primary, sa_intv=sa_intv,
+                                 max_iters=max_iters)
+    return jnp.stack([k2, s2, loc.astype(jnp.int32)], axis=1)
+
+
+def _locate_kernel(blocks, L2, sa_samples, k, steps, *, primary, sa_intv,
+                   max_iters):
     """Batched bwt_sa: LF-walk each row until it hits a sampled row
     (row index % intv == 0), then add the sample
     (bwt_search.cpp:127-137). One merged row gather per iteration
-    serves both the BWT character read and the Occ count."""
-    steps = jnp.zeros_like(k)
+    serves both the BWT character read and the Occ count. Bounded at
+    max_iters; returns (k, steps, locations) for host-side resume."""
     mask = sa_intv - 1
 
     def cond(carry):
-        k, _ = carry
-        return jnp.any((k & mask) != 0)
+        k, _, it = carry
+        return jnp.any((k & mask) != 0) & (it < max_iters)
 
     def body(carry):
-        k, steps = carry
+        k, steps, it = carry
         active = (k & mask) != 0
         kk = jnp.maximum(k - (k >= primary).astype(jnp.int32), 0)
         x = k - (k > primary).astype(jnp.int32)
@@ -408,7 +537,7 @@ def _locate_kernel(blocks, L2, sa_samples, k, *, primary, sa_intv):
         nxt = jnp.where(k == primary, 0, nxt)
         k2 = jnp.where(active, nxt, k)
         steps2 = jnp.where(active, steps + 1, steps)
-        return (k2, steps2)
+        return (k2, steps2, it + 1)
 
-    k, steps = jax.lax.while_loop(cond, body, (k, steps))
-    return steps + sa_samples[k // sa_intv]
+    k, steps, _ = jax.lax.while_loop(cond, body, (k, steps, jnp.int32(0)))
+    return k, steps, steps + sa_samples[k // sa_intv]

@@ -77,6 +77,36 @@ def seed_reads_from_all_walks(engine, codes: np.ndarray, rlens: np.ndarray,
     return n_out, rpos_out, len_out, k0_out, freq_out
 
 
+def seed_occurrence_tables(engine, reads):
+    """Whole-chunk seeding: two batched device passes producing flat
+    per-occurrence tables for the native pipeline. Returns
+    (occ_off (R+1,), occ_rpos, occ_len, occ_gpos) where records
+    [occ_off[r], occ_off[r+1]) belong to read r (unsorted; the consumer
+    sorts by (gPos, rPos) as the reference does after IdentifySeedPairs).
+    """
+    codes, rlens = build_codes_matrix(reads)
+    n, rpos, slen, k0, freq = engine.seed_reads(codes, rlens)
+    S = rpos.shape[1]
+    valid = np.arange(S)[None, :] < n[:, None]
+    freq_v = np.where(valid, freq, 0).astype(np.int64)
+    occ_per_seed = freq_v.ravel()
+    total = int(occ_per_seed.sum())
+    occ_off = np.zeros(len(reads) + 1, dtype=np.int64)
+    np.cumsum(freq_v.sum(axis=1), out=occ_off[1:])
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return occ_off, z, z, z
+    starts = np.repeat(k0.ravel().astype(np.int64), occ_per_seed)
+    cum = np.zeros(occ_per_seed.shape[0] + 1, dtype=np.int64)
+    np.cumsum(occ_per_seed, out=cum[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], occ_per_seed)
+    rows = starts + within
+    occ_gpos = engine.locate(rows)
+    occ_rpos = np.repeat(rpos.ravel(), occ_per_seed)
+    occ_len = np.repeat(slen.ravel(), occ_per_seed)
+    return occ_off, occ_rpos, occ_len, occ_gpos
+
+
 def identify_seed_pairs_chunk(engine, reads, max_dup_num: int) -> list[list[SeedPair]]:
     """Produce the reference's per-read seed lists for a chunk using two
     batched device passes (seed scan, then occurrence locates)."""
