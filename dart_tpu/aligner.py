@@ -156,6 +156,36 @@ class DartAligner:
 
     # ---- full run ----
 
+    def _run_pipelined(self, reader, pair_end: bool, emit) -> None:
+        """Overlap the device stages (seeding + locates for chunk k+1)
+        with the native host stages (finalize + output for chunk k) and
+        input parsing — the aligner analogue of the reference's
+        producer/consumer thread pool (Mapping.cpp:579-681), with the
+        device as the producer. Output order stays deterministic."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .pipeline.seeding import seed_occurrence_tables
+
+        with ThreadPoolExecutor(1) as ex:
+            pending = None
+            reads = reader.next_chunk()
+            while reads:
+                fut = ex.submit(seed_occurrence_tables, self.engine, reads)
+                if pending is not None:
+                    self._finish_chunk(pending, pair_end, reader.fastq, emit)
+                next_reads = reader.next_chunk()
+                pending = (reads, fut)
+                reads = next_reads
+            if pending is not None:
+                self._finish_chunk(pending, pair_end, reader.fastq, emit)
+
+    def _finish_chunk(self, pending, pair_end: bool, fastq: bool, emit) -> None:
+        reads, fut = pending
+        occ_off, occ_rpos, occ_len, occ_gpos = fut.result()
+        emit(self.native.process_chunk(
+            reads, pair_end and len(reads) % 2 == 0, fastq,
+            occ_off, occ_rpos, occ_len, occ_gpos, self.counters))
+
     def header_lines(self) -> list[str]:
         lines = [f"@PG\tID:Dart\tPN:Dart\tVN:{VERSION_STR}"]
         for c in self.idx.chromosomes:
@@ -187,11 +217,8 @@ class DartAligner:
             reader = ChunkReader(path1, path2, cfg.pair_end,
                                  chunk_reads=cfg.batch_reads)
             pair_end = reader.pair_end
-            while True:
-                reads = reader.next_chunk()
-                if not reads:
-                    break
-                sam = self.process_chunk(reads, pair_end, reader.fastq)
+
+            def emit(sam):
                 if isinstance(sam, bytes):
                     if writer is not None:
                         for line in sam.decode("latin-1").splitlines():
@@ -210,6 +237,15 @@ class DartAligner:
                           f"{'paired-end' if pair_end else 'singled-end'} tags processed "
                           f"in {int(time.time() - start)} seconds...",
                           end="", file=sys.stderr)
+
+            if self.native is not None:
+                self._run_pipelined(reader, pair_end, emit)
+            else:
+                while True:
+                    reads = reader.next_chunk()
+                    if not reads:
+                        break
+                    emit(self.process_chunk(reads, pair_end, reader.fastq))
             reader.close()
         if own:
             if writer is not None:

@@ -28,5 +28,5 @@ class DartConfig:
     debug: bool = False
     # dart_tpu extensions (not in the reference)
     engine: str = "numpy"           # numpy | jax  (device compute engine)
-    batch_reads: int = 16000  # device batch; output-invariant
+    batch_reads: int = 32768  # device batch; output-invariant
     native: bool = True       # C++ host pipeline (fallback: pure Python)

@@ -154,8 +154,26 @@ def write_sa_file(path: str, primary: int, L2: np.ndarray, samples: np.ndarray, 
         f.write(samples[1:].astype("<u8").tobytes())
 
 
-def build_index(fasta_path: str, prefix: str, seed: int = 11) -> None:
-    """Build all five index files for `fasta_path` under `prefix`."""
+SAD_MAGIC = 0x44415344  # "DSAD"
+SAD_INTERVAL = 8
+
+
+def write_sad_file(path: str, samples: np.ndarray, intv: int) -> None:
+    """dart_tpu extension: dense SA samples for the device locate
+    kernel. A batched LF-walk's cost is its LONGEST lane (~intv * ln(B)
+    steps over batch B), not the mean, so the TPU wants denser samples
+    than the BWA .sa's every-32 (bwtindex.c:141). int32 payload; only
+    written for seq_len < 2^31 (the device layout bound)."""
+    with open(path, "wb") as f:
+        header = np.array([SAD_MAGIC, intv, samples.shape[0]], dtype="<u8")
+        f.write(header.tobytes())
+        f.write(samples.astype("<i4").tobytes())
+
+
+def build_index(fasta_path: str, prefix: str, seed: int = 11,
+                sad_intv: int = SAD_INTERVAL) -> None:
+    """Build all five BWA-compatible index files for `fasta_path` under
+    `prefix`, plus the .sad dense-sample file (TPU extension)."""
     pg = packer.pack_fasta(fasta_path, seed=seed)
     text = full_text(pg.seq2)
     seq_len = int(text.shape[0])
@@ -171,3 +189,6 @@ def build_index(fasta_path: str, prefix: str, seed: int = 11) -> None:
     packer.write_pac(prefix + ".pac", pg.seq2)
     packer.write_ann(prefix + ".ann", pg)
     packer.write_amb(prefix + ".amb", pg)
+    if sad_intv and seq_len < 2**31:
+        write_sad_file(prefix + ".sad", sample_sa(sa, seq_len, sad_intv),
+                       sad_intv)

@@ -43,6 +43,9 @@ class Index:
     # ChrLocMap equivalent: sorted end-coordinate keys and their chr idx
     chr_end_keys: np.ndarray = None
     chr_end_idx: np.ndarray = None
+    # dart_tpu extension: dense SA samples for the device locate kernel
+    sad_samples: np.ndarray = None  # int32[n] or None
+    sad_intv: int = 0
 
     def chr_lower_bound(self, g_pos) -> np.ndarray:
         """Index into chr_end_keys of the first key >= g_pos
@@ -103,6 +106,21 @@ def load_index(prefix: str) -> Index:
     sa_samples[0] = -1
     sa_samples[1:] = np.frombuffer(sdata[56:], dtype="<u8", count=n_sa - 1).astype(np.int64)
 
+    # .sad (optional dense samples, builder.write_sad_file)
+    sad_samples = None
+    sad_intv = 0
+    import os
+
+    if os.path.exists(prefix + ".sad"):
+        with open(prefix + ".sad", "rb") as f:
+            sdd = f.read()
+        magic, intv, n_sad = np.frombuffer(sdd[:24], dtype="<u8")
+        if magic == 0x44415344:
+            sad_samples = np.frombuffer(sdd[24:], dtype="<i4",
+                                        count=int(n_sad)).copy()
+            sad_samples[0] = -1  # $ row sentinel, as with .sa
+            sad_intv = int(intv)
+
     # .ann / .pac
     l_pac, _seed, contigs = packer.read_ann(prefix + ".ann")
     fwd = packer.read_pac(prefix + ".pac")
@@ -144,4 +162,6 @@ def load_index(prefix: str) -> Index:
         chromosomes=chromosomes,
         chr_end_keys=chr_end_keys,
         chr_end_idx=chr_end_idx,
+        sad_samples=sad_samples,
+        sad_intv=sad_intv,
     )

@@ -63,10 +63,17 @@ class FMIndexJax:
         blocks = build_device_layout(idx)
         self.blocks = jax.device_put(blocks, device)
         self.L2 = jax.device_put(idx.L2.astype(np.int32), device)
-        self.sa_samples = jax.device_put(idx.sa_samples.astype(np.int32), device)
+        if idx.sad_samples is not None:
+            # dense samples (builder .sad): shorter LF-walks on device
+            self.sa_samples = jax.device_put(
+                idx.sad_samples.astype(np.int32), device)
+            self.sa_intv = int(idx.sad_intv)
+        else:
+            self.sa_samples = jax.device_put(
+                idx.sa_samples.astype(np.int32), device)
+            self.sa_intv = int(idx.sa_intv)
         self.primary = int(idx.primary)
         self.seq_len = int(idx.seq_len)
-        self.sa_intv = int(idx.sa_intv)
         self.max_dup_num = int(max_dup_num)
         self._walk_jit = jax.jit(functools.partial(
             _mem_walks_kernel, primary=self.primary))
@@ -78,19 +85,19 @@ class FMIndexJax:
         semantics) as a device automaton: one lane per read. Returns
         (n_seeds (R,), rpos/length/k0/freq (R, S)) int32/int64.
 
-        The scan runs in bounded blocks of T iterations; lanes still
-        running after a block are compacted to a smaller power-of-two
-        batch and resumed, so a handful of straggler reads (repetitive
-        sequence walks are O(len^2)) do not hold the full batch width
-        hostage. Both the block kernel and every compaction bucket are
-        fixed shapes -> a small closed set of compiled programs.
-
-        Host<->device traffic is ONE packed int32 buffer each way per
-        block: the relay charges ~30 ms latency per transfer regardless
-        of size, so the whole automaton state travels as a single
-        concatenated array (7 lane vectors + 4 SxR output slabs).
+        Transport-shaped: the relay charges ~35 ms latency per transfer
+        plus ~30-60 MB/s, and a loop iteration's marginal cost is tiny
+        next to that — so each call moves ONE 4-bit-packed code buffer
+        up and ONE packed (R, 1+3S) result buffer down, with a generous
+        iteration cap. The rare straggler reads (repetitive-sequence
+        scans are O(len^2)) that exhaust the cap are simply re-run from
+        scratch in a smaller power-of-two bucket with a 4x larger cap —
+        recompute beats shipping resume state. All shapes come from a
+        small closed bucket set, so the compiled-program set stays small.
         """
         R, L = codes.shape
+        if L >= 65536:
+            raise ValueError("reads must be shorter than 65536 bases")
         Lp = max(32, -(-L // 32) * 32)
         S = Lp // 16 + 2
         n_out = np.zeros(R, dtype=np.int32)
@@ -102,8 +109,7 @@ class FMIndexJax:
         lane_ids = np.arange(R, dtype=np.int64)
         cur_codes = codes
         cur_rlens = np.asarray(rlens, dtype=np.int32)
-        state = None  # packed (Rp, 7+4S) int32 rows for resumed lanes
-        T = 160
+        T = 224
         while lane_ids.size:
             nlive = lane_ids.size
             Rp = self._pad_up(nlive, 1024)
@@ -111,39 +117,32 @@ class FMIndexJax:
             cp[:nlive, :L] = cur_codes
             rl = np.zeros(Rp, dtype=np.int32)
             rl[:nlive] = cur_rlens
-            key = (Rp, Lp, T, state is not None)
+            packed4 = (cp[:, 0::2] | (cp[:, 1::2] << 4))  # 2 codes/byte
+            key = (Rp, Lp, T)
             if key not in self._seed_jit:
                 self._seed_jit[key] = jax.jit(functools.partial(
                     _seed_scan_packed, primary=self.primary,
-                    max_dup=self.max_dup_num, max_seeds=S, max_iters=T))
-            if state is None:
-                st_dev = None
-            else:
-                pad = np.zeros((Rp, state.shape[1]), dtype=np.int32)
-                pad[:, 0] = 1  # done
-                pad[:nlive] = state
-                st_dev = jnp.asarray(pad)
-            packed = np.asarray(self._seed_jit[key](
-                self.blocks, self.L2, jnp.asarray(cp), jnp.asarray(rl),
-                st_dev))                        # (Rp, 7+4S) — one transfer
-            host = packed[:nlive]
-            done = host[:, 0] != 0
+                    max_dup=self.max_dup_num, max_seeds=S, max_iters=T,
+                    read_len=Lp))
+            host = np.asarray(self._seed_jit[key](
+                self.blocks, self.L2, jnp.asarray(packed4),
+                jnp.asarray(rl)))[:nlive]       # (nlive, 1+3S), one d2h
+            done = (host[:, 0] & 1) != 0
             fin = np.nonzero(done)[0]
             ids = lane_ids[fin]
-            n_out[ids] = host[fin, 6]
-            k = 7
-            rpos_out[ids] = host[fin, k:k + S]
-            len_out[ids] = host[fin, k + S:k + 2 * S]
-            k0_out[ids] = host[fin, k + 2 * S:k + 3 * S]
-            freq_out[ids] = host[fin, k + 3 * S:k + 4 * S]
+            n_out[ids] = host[fin, 0] >> 1
+            meta = host[fin, 1:1 + S]
+            rpos_out[ids] = meta >> 16
+            len_out[ids] = meta & 0xFFFF
+            k0_out[ids] = host[fin, 1 + S:1 + 2 * S]
+            freq_out[ids] = host[fin, 1 + 2 * S:1 + 3 * S]
             live = np.nonzero(~done)[0]
             if live.size == 0:
                 break
             lane_ids = lane_ids[live]
             cur_codes = cur_codes[live]
             cur_rlens = cur_rlens[live]
-            state = host[live]
-            T = 512  # straggler rounds: longer blocks at smaller width
+            T *= 4  # straggler rounds: rerun from scratch, longer cap
         return (n_out, rpos_out, len_out,
                 k0_out.astype(np.int64), freq_out)
 
@@ -182,34 +181,28 @@ class FMIndexJax:
         out = np.zeros(n, dtype=np.int64)
         lane_ids = np.arange(n, dtype=np.int64)
         cur_k = np.asarray(rows, dtype=np.int32)
-        cur_steps = np.zeros(n, dtype=np.int32)
-        T = 3 * self.sa_intv // 2
+        T = 4 * self.sa_intv
         while lane_ids.size:
             npad = self._pad_up(lane_ids.size, 1024)
             kp = np.zeros(npad, dtype=np.int32)
             kp[: lane_ids.size] = cur_k
-            sp = np.zeros(npad, dtype=np.int32)
-            sp[: lane_ids.size] = cur_steps
             key = (npad, T)
             if key not in self._locate_jit:
                 self._locate_jit[key] = jax.jit(functools.partial(
                     _locate_packed, primary=self.primary,
                     sa_intv=self.sa_intv, max_iters=T))
-            packed = np.asarray(self._locate_jit[key](
+            loc = np.asarray(self._locate_jit[key](
                 self.blocks, self.L2, self.sa_samples,
-                jnp.asarray(kp), jnp.asarray(sp)))  # (npad, 3), one transfer
-            k2 = packed[: lane_ids.size, 0]
-            s2 = packed[: lane_ids.size, 1]
-            loc = packed[: lane_ids.size, 2]
-            fin = (k2 & (self.sa_intv - 1)) == 0
+                jnp.asarray(kp)))[: lane_ids.size]  # (npad,), one transfer
+            fin = loc != _LOCATE_UNFINISHED
             out[lane_ids[fin]] = loc[fin]
             live = ~fin
             if not live.any():
                 break
+            # stragglers: rerun from the original row with a larger cap
             lane_ids = lane_ids[live]
-            cur_k = k2[live]
-            cur_steps = s2[live]
-            T = 8 * self.sa_intv
+            cur_k = cur_k[live]
+            T *= 8
         return out
 
 
@@ -348,28 +341,20 @@ def _mem_walks_kernel(blocks, L2, chars, valid, *, primary):
     return lens, x0, x2
 
 
-def _seed_scan_packed(blocks, L2, codes, rlens, packed, *, primary, max_dup,
-                      max_seeds, max_iters):
-    """Packed-transfer wrapper: the automaton state crosses the
-    host<->device boundary as one (R, 7+4S) int32 array — the relay
-    charges flat per-transfer latency, so one buffer beats eleven."""
+def _seed_scan_packed(blocks, L2, codes4, rlens, *, primary, max_dup,
+                      max_seeds, max_iters, read_len):
+    """Transfer-minimal wrapper: codes arrive 4-bit packed (2/byte) and
+    the result leaves as one (R, 1+3S) int32 buffer —
+    [done|nseeds<<1, rpos<<16|len x S, k0 x S, freq x S]."""
     S = max_seeds
-    if packed is None:
-        state = None
-    else:
-        done = packed[:, 0] != 0
-        pos, cur, x0, x1, x2, nseeds = (packed[:, i] for i in range(1, 7))
-        k = 7
-        state = (done, pos, cur, x0, x1, x2, nseeds,
-                 packed[:, k:k + S].T, packed[:, k + S:k + 2 * S].T,
-                 packed[:, k + 2 * S:k + 3 * S].T,
-                 packed[:, k + 3 * S:k + 4 * S].T)
-    st = _seed_scan_kernel(blocks, L2, codes, rlens, state, primary=primary,
+    lo = (codes4 & 0x0F).astype(jnp.uint8)
+    hi = (codes4 >> 4).astype(jnp.uint8)
+    codes = jnp.stack([lo, hi], axis=2).reshape(codes4.shape[0], read_len)
+    st = _seed_scan_kernel(blocks, L2, codes, rlens, None, primary=primary,
                            max_dup=max_dup, max_seeds=S, max_iters=max_iters)
     (done, pos, cur, x0, x1, x2, nseeds, o_rpos, o_len, o_k0, o_freq) = st
-    cols = [done.astype(jnp.int32)[:, None], pos[:, None], cur[:, None],
-            x0[:, None], x1[:, None], x2[:, None], nseeds[:, None],
-            o_rpos.T, o_len.T, o_k0.T, o_freq.T]
+    cols = [(done.astype(jnp.int32) | (nseeds << 1))[:, None],
+            ((o_rpos << 16) | o_len).T, o_k0.T, o_freq.T]
     return jnp.concatenate(cols, axis=1)
 
 
@@ -486,14 +471,21 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, state, *, primary, max_dup,
     return st
 
 
-def _locate_packed(blocks, L2, sa_samples, k, steps, *, primary, sa_intv,
-                   max_iters):
-    """Packed-transfer wrapper for _locate_kernel (one d2h buffer).
-    Locations fit int32: device layouts require seq_len < 2^31."""
-    k2, s2, loc = _locate_kernel(blocks, L2, sa_samples, k, steps,
-                                 primary=primary, sa_intv=sa_intv,
-                                 max_iters=max_iters)
-    return jnp.stack([k2, s2, loc.astype(jnp.int32)], axis=1)
+_LOCATE_UNFINISHED = -(2**31)
+
+
+def _locate_packed(blocks, L2, sa_samples, k, *, primary, sa_intv, max_iters):
+    """Transfer-minimal wrapper for _locate_kernel: ONE (N,) int32 out;
+    lanes that exhausted the iteration cap carry the sentinel and are
+    re-run from scratch by the host. Locations fit int32 (device
+    layouts require seq_len < 2^31)."""
+    steps = jnp.zeros_like(k)
+    k2, _, loc = _locate_kernel(blocks, L2, sa_samples, k, steps,
+                                primary=primary, sa_intv=sa_intv,
+                                max_iters=max_iters)
+    finished = (k2 & (sa_intv - 1)) == 0
+    return jnp.where(finished, loc.astype(jnp.int32),
+                     jnp.int32(_LOCATE_UNFINISHED))
 
 
 def _locate_kernel(blocks, L2, sa_samples, k, steps, *, primary, sa_intv,
