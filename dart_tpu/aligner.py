@@ -52,9 +52,18 @@ def _enable_compile_cache():
 def make_engine(idx: Index, cfg: DartConfig):
     if cfg.engine == "jax":
         _enable_compile_cache()
+        import os
+
+        import jax
+
         from .ops.fm_jax import FMIndexJax
 
-        return FMIndexJax(idx, max_dup_num=cfg.max_dup_num)
+        lut_k = int(os.environ.get("DART_TPU_LUT", "-1"))
+        if lut_k < 0:
+            # the K-mer jump table pays off on real accelerators; the
+            # CPU backend (tests, dry runs) skips the build cost
+            lut_k = 12 if jax.default_backend() != "cpu" else 0
+        return FMIndexJax(idx, max_dup_num=cfg.max_dup_num, lut_k=lut_k)
     from .ops.fm_numpy import FMIndexNumpy
 
     return _NumpyEngine(FMIndexNumpy(idx), cfg.max_dup_num)

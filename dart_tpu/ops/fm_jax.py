@@ -58,8 +58,49 @@ def build_device_layout(idx: Index):
     return blocks
 
 
+def _lut_extend(blocks, L2, x0, x1, x2, *, primary):
+    """One LUT-build level: extend every parent walk state by each of
+    the 4 bases (children interleaved: child[4i+c] = extend(parent i, c)).
+    Dead parents (x2 == 0) stay dead."""
+    alive = x2 > 0
+    q1 = jnp.where(alive, x1 - 1, 0)
+    q2 = jnp.where(alive, x1 - 1 + x2, 0)
+    tk, tl = _occ4_pair(blocks, q1, q2, primary)
+    starts, nx1, w = _backward_ext_state(L2, x0, x1, x2, tk, tl, primary)
+    cx0 = jnp.stack([starts[3 - c] for c in range(4)], axis=1)
+    cx1 = jnp.stack([nx1[3 - c] for c in range(4)], axis=1)
+    cw = jnp.stack([w[3 - c] for c in range(4)], axis=1)
+    ok = alive[:, None] & (cw > 0)
+    n4 = 4 * x0.shape[0]
+    return (jnp.where(ok, cx0, 0).reshape(n4),
+            jnp.where(ok, cx1, 0).reshape(n4),
+            jnp.where(ok, cw, 0).reshape(n4))
+
+
+def build_lut(blocks, L2, primary: int, K: int):
+    """Build the K-mer walk-state LUT on device: for every K-mer (key =
+    base-4 big-endian), the bidirectional interval (x0, x1, x2) after
+    the forward-MEM walk (BWT_Search init + K-1 extensions) consumes its
+    K characters, or x2 == 0 if the walk dies earlier. The seeding
+    automaton uses it to start each walk K characters in — walks that
+    die before K can only yield seeds shorter than MIN_SEED_LEN, whose
+    only effect is advancing the scan by one, so a dead entry IS the
+    answer. Returns (4^K, 4) uint32 rows [x0, x1, x2, 0]."""
+    c = jnp.arange(4, dtype=jnp.int32)
+    x0 = L2[c] + 1
+    x1 = L2[3 - c] + 1
+    x2 = L2[c + 1] - L2[c]
+    ext = jax.jit(functools.partial(_lut_extend, primary=primary))
+    for _ in range(K - 1):
+        x0, x1, x2 = ext(blocks, L2, x0, x1, x2)
+    zero = jnp.zeros_like(x0)
+    return jax.jit(lambda a, b, d: jnp.stack(
+        [a, b, d, zero], axis=1).astype(jnp.uint32))(x0, x1, x2)
+
+
 class FMIndexJax:
-    def __init__(self, idx: Index, device=None, max_dup_num: int = 100):
+    def __init__(self, idx: Index, device=None, max_dup_num: int = 100,
+                 lut_k: int = 0):
         blocks = build_device_layout(idx)
         self.blocks = jax.device_put(blocks, device)
         self.L2 = jax.device_put(idx.L2.astype(np.int32), device)
@@ -75,6 +116,8 @@ class FMIndexJax:
         self.primary = int(idx.primary)
         self.seq_len = int(idx.seq_len)
         self.max_dup_num = int(max_dup_num)
+        self.lut_k = int(lut_k)
+        self._lut = None  # built lazily on first seed_reads
         self._walk_jit = jax.jit(functools.partial(
             _mem_walks_kernel, primary=self.primary))
         self._locate_jit = {}
@@ -99,7 +142,8 @@ class FMIndexJax:
         if L >= 65536:
             raise ValueError("reads must be shorter than 65536 bases")
         Lp = max(32, -(-L // 32) * 32)
-        S = Lp // 16 + 2
+        # every accepted seed advances the scan by >= MIN_SEED_LEN(16)
+        S = Lp // 16
         n_out = np.zeros(R, dtype=np.int32)
         rpos_out = np.zeros((R, S), dtype=np.int32)
         len_out = np.zeros((R, S), dtype=np.int32)
@@ -118,14 +162,17 @@ class FMIndexJax:
             rl = np.zeros(Rp, dtype=np.int32)
             rl[:nlive] = cur_rlens
             packed4 = (cp[:, 0::2] | (cp[:, 1::2] << 4))  # 2 codes/byte
+            if self.lut_k and self._lut is None:
+                self._lut = build_lut(self.blocks, self.L2, self.primary,
+                                      self.lut_k)
             key = (Rp, Lp, T)
             if key not in self._seed_jit:
                 self._seed_jit[key] = jax.jit(functools.partial(
                     _seed_scan_packed, primary=self.primary,
                     max_dup=self.max_dup_num, max_seeds=S, max_iters=T,
-                    read_len=Lp))
+                    read_len=Lp, lut_k=self.lut_k))
             host = np.asarray(self._seed_jit[key](
-                self.blocks, self.L2, jnp.asarray(packed4),
+                self.blocks, self.L2, self._lut, jnp.asarray(packed4),
                 jnp.asarray(rl)))[:nlive]       # (nlive, 1+3S), one d2h
             done = (host[:, 0] & 1) != 0
             fin = np.nonzero(done)[0]
@@ -181,7 +228,9 @@ class FMIndexJax:
         out = np.zeros(n, dtype=np.int64)
         lane_ids = np.arange(n, dtype=np.int64)
         cur_k = np.asarray(rows, dtype=np.int32)
-        T = 4 * self.sa_intv
+        # walk lengths are geometric(1/intv): cap at intv*(ln n + 4) so
+        # the expected straggler count is ~0 and one round suffices
+        T = int(self.sa_intv * (np.log(max(n, 2)) + 4.0) / 32 + 1) * 32
         while lane_ids.size:
             npad = self._pad_up(lane_ids.size, 1024)
             kp = np.zeros(npad, dtype=np.int32)
@@ -341,8 +390,8 @@ def _mem_walks_kernel(blocks, L2, chars, valid, *, primary):
     return lens, x0, x2
 
 
-def _seed_scan_packed(blocks, L2, codes4, rlens, *, primary, max_dup,
-                      max_seeds, max_iters, read_len):
+def _seed_scan_packed(blocks, L2, lut, codes4, rlens, *, primary, max_dup,
+                      max_seeds, max_iters, read_len, lut_k=0):
     """Transfer-minimal wrapper: codes arrive 4-bit packed (2/byte) and
     the result leaves as one (R, 1+3S) int32 buffer —
     [done|nseeds<<1, rpos<<16|len x S, k0 x S, freq x S]."""
@@ -351,7 +400,8 @@ def _seed_scan_packed(blocks, L2, codes4, rlens, *, primary, max_dup,
     hi = (codes4 >> 4).astype(jnp.uint8)
     codes = jnp.stack([lo, hi], axis=2).reshape(codes4.shape[0], read_len)
     st = _seed_scan_kernel(blocks, L2, codes, rlens, None, primary=primary,
-                           max_dup=max_dup, max_seeds=S, max_iters=max_iters)
+                           max_dup=max_dup, max_seeds=S, max_iters=max_iters,
+                           lut=lut, lut_k=lut_k)
     (done, pos, cur, x0, x1, x2, nseeds, o_rpos, o_len, o_k0, o_freq) = st
     cols = [(done.astype(jnp.int32) | (nseeds << 1))[:, None],
             ((o_rpos << 16) | o_len).T, o_k0.T, o_freq.T]
@@ -359,7 +409,7 @@ def _seed_scan_packed(blocks, L2, codes4, rlens, *, primary, max_dup,
 
 
 def _seed_scan_kernel(blocks, L2, codes, rlens, state, *, primary, max_dup,
-                      max_seeds, max_iters):
+                      max_seeds, max_iters, lut=None, lut_k=0):
     """Device automaton replaying the reference seeding scan
     (IdentifySeedPairs, AlignmentCandidates.cpp:188-211): one lane per
     read; each iteration either (re)initializes the bidirectional
@@ -375,11 +425,28 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, state, *, primary, max_dup,
 
     Runs at most max_iters iterations and returns the full state tuple
     (done first) so the host can compact unfinished lanes and resume.
+
+    With a K-mer LUT (build_lut), the init step consumes K characters in
+    one iteration: alive K-mers jump straight to the stored interval;
+    dead ones (absent from the genome, or an ambiguous base in the
+    window) advance the scan by one — identical outcomes to walking,
+    since any walk that dies before K < MIN_SEED_LEN is a rejected seed.
     """
     R, L = codes.shape
     S = max_seeds
     codes_i = codes.astype(jnp.int32)            # (R, L)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    if lut is not None and lut_k:
+        # rolling K-mer keys per position; bad (ambiguous/out-of-read)
+        # windows index entry 0 with alive forced off via lkeys == -1
+        key = jnp.zeros((R, L), jnp.int32)
+        bad = jnp.zeros((R, L), jnp.bool_)
+        for j in range(lut_k):
+            cj = jnp.concatenate(
+                [codes_i[:, j:], jnp.full((R, j), 4, jnp.int32)], axis=1)
+            key = (key << 2) | jnp.minimum(cj, 3)
+            bad = bad | (cj > 3)
+        lkeys = jnp.where(bad, -1, key)
 
     end_pos = jnp.maximum(rlens - 13, 0)
     if state is None:
@@ -410,18 +477,30 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, state, *, primary, max_dup,
         initing = (~done) & (cur == pos)
         extending = (~done) & (cur > pos)
 
-        # one one-hot char read serves both branches: initing lanes
-        # have cur == pos, so charat(cur) == charat(pos)
+        # one one-hot read serves both branches: initing lanes have
+        # cur == pos, so charat(cur) == charat(pos) (and keyat likewise)
         safe_cur = jnp.minimum(cur, L - 1)
-        ch_raw = _char_onehot(codes_i, iota_l, safe_cur)
+        oh = iota_l == safe_cur[:, None]
+        ch_raw = jnp.sum(jnp.where(oh, codes_i, 0), axis=1)
         ch = jnp.where(cur < rlens, ch_raw, 4)
         amb = ch > 3
         c_safe = jnp.minimum(ch, 3)
 
         # ---- init values ----
-        i_x0 = _l2_lookup(L2, c_safe) + 1
-        i_x1 = _l2_lookup(L2, 3 - c_safe) + 1
-        i_x2 = _l2_lookup(L2, c_safe + 1) - _l2_lookup(L2, c_safe)
+        if lut is not None and lut_k:
+            lkey = jnp.sum(jnp.where(oh, lkeys, 0), axis=1)
+            lrows = lut[jnp.maximum(lkey, 0)]
+            i_x0 = lrows[:, 0].astype(jnp.int32)
+            i_x1 = lrows[:, 1].astype(jnp.int32)
+            i_x2 = lrows[:, 2].astype(jnp.int32)
+            init_ok = (lkey >= 0) & (i_x2 > 0)
+            init_jump = lut_k
+        else:
+            i_x0 = _l2_lookup(L2, c_safe) + 1
+            i_x1 = _l2_lookup(L2, 3 - c_safe) + 1
+            i_x2 = _l2_lookup(L2, c_safe + 1) - _l2_lookup(L2, c_safe)
+            init_ok = ~amb
+            init_jump = 1
 
         # ---- extend values (one merged occ gather) ----
         q1 = jnp.where(extending, x1 - 1, 0)
@@ -452,15 +531,16 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, state, *, primary, max_dup,
 
         # ---- state update ----
         new_pos = jnp.where(seed_end, jnp.where(acc, pos + length, pos + 1),
-                            jnp.where(initing & amb, pos + 1, pos))
+                            jnp.where(initing & ~init_ok, pos + 1, pos))
         new_cur = jnp.where(can_extend, cur + 1,
-                            jnp.where(initing & ~amb, cur + 1, new_pos))
+                            jnp.where(initing & init_ok, cur + init_jump,
+                                      new_pos))
         x0n = jnp.where(can_extend, _sel4(ci, *starts),
-                        jnp.where(initing & ~amb, i_x0, x0))
+                        jnp.where(initing & init_ok, i_x0, x0))
         x1n = jnp.where(can_extend, _sel4(ci, *nx1),
-                        jnp.where(initing & ~amb, i_x1, x1))
+                        jnp.where(initing & init_ok, i_x1, x1))
         x2n = jnp.where(can_extend, wi,
-                        jnp.where(initing & ~amb, i_x2, x2))
+                        jnp.where(initing & init_ok, i_x2, x2))
         done = done | (new_pos >= end_pos)
         return ((done, new_pos, new_cur, x0n, x1n, x2n, nseeds,
                  out_rpos, out_len, out_k0, out_freq), it + 1)

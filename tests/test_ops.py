@@ -75,3 +75,28 @@ def test_nw_known_case():
     # (sub-optimal-looking) alignment — guards the semantics.
     a1, a2 = nw_align(b"AACCGG", b"AACGG")
     assert (a1, a2) == (b"AACCGG", b"-AACGG")
+
+
+def test_seed_scan_lut_equivalence(toy_index):
+    """The K-mer LUT init path must produce byte-identical seed tables
+    to the plain one-char init path (K=4 keeps the CPU build cheap)."""
+    import numpy as np
+
+    from dart_tpu.ops.fm_jax import FMIndexJax
+
+    rng = np.random.default_rng(11)
+    eng0 = FMIndexJax(toy_index, lut_k=0)
+    eng4 = FMIndexJax(toy_index, lut_k=4)
+    R, L = 64, 100
+    codes = np.empty((R, L), dtype=np.uint8)
+    rlens = np.full(R, L, dtype=np.int32)
+    for i in range(R):
+        p = int(rng.integers(0, toy_index.genome_size - L))
+        codes[i] = toy_index.ref_codes[p : p + L]
+    # sprinkle mismatches and ambiguity
+    mut = rng.random((R, L)) < 0.03
+    codes = np.where(mut, rng.integers(0, 5, (R, L)).astype(np.uint8), codes)
+    a = eng0.seed_reads(codes, rlens)
+    b = eng4.seed_reads(codes, rlens)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
