@@ -128,6 +128,10 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         print(f"usage: {prog} index ref.fa prefix", file=sys.stderr)
         return 1
+    if argv[0] in ("eva", "fluxeva", "sjeva"):
+        from .evaluation import main as eval_main
+
+        return eval_main(argv)
 
     cfg = parse_args(argv)
     if cfg is None:
