@@ -8,6 +8,7 @@ reference at -t 1.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -201,10 +202,65 @@ class DartAligner:
             lines.append(f"@SQ\tSN:{c.name}\tLN:{c.length}")
         return lines
 
+    # ---- checkpoint/resume (SAM output only) ----
+
+    def _ckpt_path(self) -> str:
+        return self.cfg.output_file + ".ckpt"
+
+    def _merged_sj(self) -> dict:
+        """Junction map combining any resumed state (self.sj_map) with
+        the native context's accumulation, additively."""
+        merged = {k: list(v) for k, v in self.sj_map.items()}
+        if self.native is not None:
+            for g1, g2, t, c in self.native.sj_items():
+                key = (int(g1), int(g2))
+                if key in merged:
+                    merged[key][1] += int(c)
+                else:
+                    merged[key] = [int(t), int(c)]
+        return merged
+
+    def _ckpt_save(self, file_idx: int, chunks: int, sam_bytes: int) -> None:
+        import json
+
+        state = {"file_idx": file_idx, "chunks": chunks,
+                 "sam_bytes": sam_bytes, "counters": self.counters,
+                 "batch_reads": self.cfg.batch_reads,
+                 "sj": [[g1, g2, v[0], v[1]] for (g1, g2), v in
+                        sorted(self._merged_sj().items())]}
+        tmp = self._ckpt_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._ckpt_path())
+
+    def _ckpt_load(self):
+        import json
+
+        path = self._ckpt_path()
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            state = json.load(f)
+        if state.get("batch_reads") != self.cfg.batch_reads:
+            return None  # chunk boundaries would not line up
+        return state
+
     def run(self, out_stream=None) -> None:
         cfg = self.cfg
         own = False
         writer = None
+        resume = None
+        if cfg.checkpoint and cfg.output_format == 0 and out_stream is None:
+            resume = self._ckpt_load()
+        if resume is not None:
+            self.counters.update(resume["counters"])
+            for g1, g2, t, c in resume["sj"]:
+                self.sj_map[(g1, g2)] = [t, c]
+            # truncate any partial chunk written after the checkpoint
+            with open(cfg.output_file, "r+") as f:
+                f.truncate(resume["sam_bytes"])
+            out_stream = open(cfg.output_file, "a")
+            own = True
         if out_stream is None:
             if cfg.output_format == 1:
                 from .io.bam import BamWriter
@@ -215,19 +271,28 @@ class DartAligner:
                 out_stream = open(cfg.output_file, "w")
                 own = True
         start = time.time()
-        header = self.header_lines()
-        if writer is not None:
-            writer.write_header(header)
-        else:
-            for line in header:
-                out_stream.write(line + "\n")
+        if resume is None:
+            header = self.header_lines()
+            if writer is not None:
+                writer.write_header(header)
+            else:
+                for line in header:
+                    out_stream.write(line + "\n")
         files2 = cfg.read_files_2 if cfg.read_files_2 else [None] * len(cfg.read_files_1)
-        for path1, path2 in zip(cfg.read_files_1, files2):
+        for file_idx, (path1, path2) in enumerate(zip(cfg.read_files_1, files2)):
+            if resume is not None and file_idx < resume["file_idx"]:
+                continue
             reader = ChunkReader(path1, path2, cfg.pair_end,
                                  chunk_reads=cfg.batch_reads)
             pair_end = reader.pair_end
+            chunks_done = 0
+            if resume is not None and file_idx == resume["file_idx"]:
+                for _ in range(resume["chunks"]):
+                    reader.next_chunk()  # fast-forward (deterministic)
+                chunks_done = resume["chunks"]
+                resume = None
 
-            def emit(sam):
+            def emit(sam, _fi=file_idx):
                 if isinstance(sam, bytes):
                     if writer is not None:
                         for line in sam.decode("latin-1").splitlines():
@@ -246,7 +311,13 @@ class DartAligner:
                           f"{'paired-end' if pair_end else 'singled-end'} tags processed "
                           f"in {int(time.time() - start)} seconds...",
                           end="", file=sys.stderr)
+                nonlocal_state["chunks"] += 1
+                if cfg.checkpoint and writer is None:
+                    out_stream.flush()
+                    self._ckpt_save(_fi, nonlocal_state["chunks"],
+                                    out_stream.tell())
 
+            nonlocal_state = {"chunks": chunks_done}
             if self.native is not None:
                 self._run_pipelined(reader, pair_end, emit)
             else:
@@ -261,10 +332,10 @@ class DartAligner:
                 writer.close()
             else:
                 out_stream.close()
-        if self.native is not None:
-            for g1, g2, sj_type, count in self.native.sj_items():
-                self.sj_map[(int(g1), int(g2))] = [int(sj_type), int(count)]
+        self.sj_map = self._merged_sj()
         n_sj = write_sj_table(self.idx, self.sj_map, cfg.sj_file)
+        if cfg.checkpoint and os.path.exists(self._ckpt_path()):
+            os.remove(self._ckpt_path())
         if not cfg.silent:
             print("", file=sys.stderr)
         self.print_summary(n_sj)

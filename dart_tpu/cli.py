@@ -106,6 +106,8 @@ def parse_args(argv: list[str]) -> DartConfig | None:
             cfg.engine = argv[i]
         elif a == "--no-native":
             cfg.native = False
+        elif a == "--checkpoint":
+            cfg.checkpoint = True
         elif a == "--dist-coordinator":
             i += 1
             cfg.dist_coordinator = argv[i]

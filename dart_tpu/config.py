@@ -30,6 +30,7 @@ class DartConfig:
     engine: str = "numpy"           # numpy | jax  (device compute engine)
     batch_reads: int = 32768  # device batch; output-invariant
     native: bool = True       # C++ host pipeline (fallback: pure Python)
+    checkpoint: bool = False  # per-chunk cursor persistence + resume
     # multi-host run (jax.distributed); nprocs > 1 activates
     dist_coordinator: str = "127.0.0.1:49178"
     dist_nprocs: int = 1
