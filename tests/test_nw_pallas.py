@@ -1,0 +1,42 @@
+"""Pallas NW kernel vs the native/NumPy reference DP (bit-identical
+gapped strings). Runs in interpreter mode so CI needs no TPU; the same
+kernel is verified compiled on hardware by the bench harness."""
+
+import random
+
+import pytest
+
+from dart_tpu.ops.nw_numpy import nw_align
+from dart_tpu.ops.nw_pallas import nw_align_batch
+
+
+def _fuzz_pairs(seed, n):
+    rng = random.Random(seed)
+    pairs = []
+    for _ in range(n):
+        m = rng.randrange(1, 127)
+        k = rng.randrange(1, 127)
+        alpha = "ACGTN" if rng.random() < 0.1 else "ACGTacgt"
+        s1 = "".join(rng.choice(alpha) for _ in range(m)).encode()
+        if rng.random() < 0.5:
+            s2 = bytearray((s1 * 3)[:k])
+            for _ in range(rng.randrange(0, 6)):
+                s2[rng.randrange(0, len(s2))] = ord(rng.choice("ACGT"))
+            s2 = bytes(s2)
+        else:
+            s2 = "".join(rng.choice(alpha) for _ in range(k)).encode()
+        pairs.append((s1, s2))
+    return pairs
+
+
+def test_nw_pallas_matches_reference_dp():
+    pairs = _fuzz_pairs(20260816, 32)
+    got = nw_align_batch(pairs, interpret=True)
+    for (s1, s2), (a1, a2) in zip(pairs, got):
+        e1, e2 = nw_align(s1, s2)
+        assert (a1, a2) == (e1, e2), (s1, s2)
+
+
+def test_nw_pallas_rejects_oversize():
+    with pytest.raises(ValueError):
+        nw_align_batch([(b"A" * 128, b"C")], interpret=True)
