@@ -102,22 +102,47 @@ class FMIndexJax:
     def __init__(self, idx: Index, device=None, max_dup_num: int = 100,
                  lut_k: int = 0):
         blocks = build_device_layout(idx)
-        self.blocks = jax.device_put(blocks, device)
         self.L2 = jax.device_put(idx.L2.astype(np.int32), device)
         if idx.sad_samples is not None:
             # dense samples (builder .sad): shorter LF-walks on device
-            self.sa_samples = jax.device_put(
-                idx.sad_samples.astype(np.int32), device)
+            samples_np = idx.sad_samples.astype(np.int32)
             self.sa_intv = int(idx.sad_intv)
         else:
-            self.sa_samples = jax.device_put(
-                idx.sa_samples.astype(np.int32), device)
+            samples_np = idx.sa_samples.astype(np.int32)
             self.sa_intv = int(idx.sa_intv)
+        self.sa_samples = jax.device_put(samples_np, device)
         self.primary = int(idx.primary)
         self.seq_len = int(idx.seq_len)
         self.max_dup_num = int(max_dup_num)
         self.lut_k = int(lut_k)
         self._lut = None  # built lazily on first seed_reads
+        self.lut_off = 0
+        # fast-extension path: append to the block table (as extra
+        # 8-word rows) the 2-bit packed genome (16 bases/word,
+        # top-first) and the SA samples, so every automaton mode is
+        # served by ONE row gather from ONE table
+        blocks_np = blocks
+        n_blocks = blocks_np.shape[0]
+        n_words = (self.seq_len + 15) // 16
+        n_wrows = -(-n_words // 8) + 1  # +1: compare may read row+1
+        codes16 = np.zeros((n_wrows * 8 * 16,), dtype=np.uint32)
+        codes16[: self.seq_len] = np.minimum(idx.ref_codes, 3)
+        w = codes16.reshape(-1, 16)
+        shifts = np.arange(15, -1, -1, dtype=np.uint64) * 2
+        ref_rows = (w.astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64).astype(np.uint32).reshape(n_wrows, 8)
+        sad = samples_np
+        n_srows = -(-sad.shape[0] // 8)
+        sad_rows = np.zeros((n_srows * 8,), dtype=np.int32)
+        sad_rows[: sad.shape[0]] = sad
+        sad_rows = sad_rows.view(np.uint32).reshape(n_srows, 8)
+        self.ref_off = n_blocks
+        self.sad_off = n_blocks + n_wrows
+        self.table = jax.device_put(
+            np.concatenate([blocks_np, ref_rows, sad_rows]), device)
+        # every kernel indexes only rows < its own region's bound, so
+        # the merged table serves as the plain block table too
+        self.blocks = self.table
         self._walk_jit = jax.jit(functools.partial(
             _mem_walks_kernel, primary=self.primary))
         self._locate_jit = {}
@@ -153,26 +178,46 @@ class FMIndexJax:
         lane_ids = np.arange(R, dtype=np.int64)
         cur_codes = codes
         cur_rlens = np.asarray(rlens, dtype=np.int32)
-        T = 224
+        # deterministic shape set: full-width first round at T=128,
+        # straggler reruns at a fixed 4096 bucket (or full width) with
+        # T=2048 — so warmup compiles every program this loop can need
+        T = 128
+        first_Rp = self._pad_up(R, 1024)
+        # rerun cap covers the worst case (a maximally repetitive read
+        # rescans O(L^2/2) characters); loops exit early when all done
+        T_rerun = max(2048, Lp * Lp // 2)
+        rounds = 0
         while lane_ids.size:
+            rounds += 1
+            if rounds > 4:
+                raise RuntimeError("seed scan failed to converge")
             nlive = lane_ids.size
-            Rp = self._pad_up(nlive, 1024)
+            if T == 128:
+                Rp = first_Rp
+            else:
+                Rp = 4096 if nlive <= 4096 else first_Rp
             cp = np.full((Rp, Lp), 4, dtype=np.uint8)
             cp[:nlive, :L] = cur_codes
             rl = np.zeros(Rp, dtype=np.int32)
             rl[:nlive] = cur_rlens
             packed4 = (cp[:, 0::2] | (cp[:, 1::2] << 4))  # 2 codes/byte
             if self.lut_k and self._lut is None:
-                self._lut = build_lut(self.blocks, self.L2, self.primary,
+                # the LUT stays a SEPARATE table: folding its 4^K rows
+                # into the block table makes every gather pay
+                # large-table rates; instead init states are
+                # pre-gathered once per chunk inside the kernel
+                self._lut = build_lut(self.table, self.L2, self.primary,
                                       self.lut_k)
             key = (Rp, Lp, T)
             if key not in self._seed_jit:
                 self._seed_jit[key] = jax.jit(functools.partial(
                     _seed_scan_packed, primary=self.primary,
                     max_dup=self.max_dup_num, max_seeds=S, max_iters=T,
-                    read_len=Lp, lut_k=self.lut_k))
+                    read_len=Lp, lut_k=self.lut_k,
+                    ref_off=self.ref_off, sad_off=self.sad_off,
+                    sa_intv=self.sa_intv, seq_len=self.seq_len))
             host = np.asarray(self._seed_jit[key](
-                self.blocks, self.L2, self._lut, jnp.asarray(packed4),
+                self.table, self.L2, self._lut, jnp.asarray(packed4),
                 jnp.asarray(rl)))[:nlive]       # (nlive, 1+3S), one d2h
             done = (host[:, 0] & 1) != 0
             fin = np.nonzero(done)[0]
@@ -189,7 +234,7 @@ class FMIndexJax:
             lane_ids = lane_ids[live]
             cur_codes = cur_codes[live]
             cur_rlens = cur_rlens[live]
-            T *= 4  # straggler rounds: rerun from scratch, longer cap
+            T = T_rerun  # straggler rounds: rerun from scratch
         return (n_out, rpos_out, len_out,
                 k0_out.astype(np.int64), freq_out)
 
@@ -229,8 +274,10 @@ class FMIndexJax:
         lane_ids = np.arange(n, dtype=np.int64)
         cur_k = np.asarray(rows, dtype=np.int32)
         # walk lengths are geometric(1/intv): cap at intv*(ln n + 4) so
-        # the expected straggler count is ~0 and one round suffices
-        T = int(self.sa_intv * (np.log(max(n, 2)) + 4.0) / 32 + 1) * 32
+        # the expected straggler count is ~0 and one round suffices;
+        # derived from the PADDED size so shapes stay deterministic
+        T = int(self.sa_intv * (np.log(self._pad_up(n, 1024)) + 4.0)
+                / 32 + 1) * 32
         while lane_ids.size:
             npad = self._pad_up(lane_ids.size, 1024)
             kp = np.zeros(npad, dtype=np.int32)
@@ -251,7 +298,7 @@ class FMIndexJax:
             # stragglers: rerun from the original row with a larger cap
             lane_ids = lane_ids[live]
             cur_k = cur_k[live]
-            T *= 8
+            T = 512 * self.sa_intv  # deterministic straggler-round shape
         return out
 
 
@@ -390,55 +437,91 @@ def _mem_walks_kernel(blocks, L2, chars, valid, *, primary):
     return lens, x0, x2
 
 
-def _seed_scan_packed(blocks, L2, lut, codes4, rlens, *, primary, max_dup,
-                      max_seeds, max_iters, read_len, lut_k=0):
+def _seed_scan_packed(table, L2, lut, codes4, rlens, *, primary, max_dup,
+                      max_seeds, max_iters, read_len, lut_k=0,
+                      ref_off=0, sad_off=0, sa_intv=0, seq_len=0):
     """Transfer-minimal wrapper: codes arrive 4-bit packed (2/byte) and
     the result leaves as one (R, 1+3S) int32 buffer —
-    [done|nseeds<<1, rpos<<16|len x S, k0 x S, freq x S]."""
+    [done|nseeds<<1, rpos<<16|len x S, k0_or_gpos x S, freq x S]
+    (freq == -1 marks a direct seed whose k0 slot holds the genome
+    position itself; see the fast-extension path)."""
     S = max_seeds
     lo = (codes4 & 0x0F).astype(jnp.uint8)
     hi = (codes4 >> 4).astype(jnp.uint8)
     codes = jnp.stack([lo, hi], axis=2).reshape(codes4.shape[0], read_len)
-    st = _seed_scan_kernel(blocks, L2, codes, rlens, None, primary=primary,
+    st = _seed_scan_kernel(table, L2, codes, rlens, None, primary=primary,
                            max_dup=max_dup, max_seeds=S, max_iters=max_iters,
-                           lut=lut, lut_k=lut_k)
-    (done, pos, cur, x0, x1, x2, nseeds, o_rpos, o_len, o_k0, o_freq) = st
+                           lut=lut, lut_k=lut_k, ref_off=ref_off,
+                           sad_off=sad_off, sa_intv=sa_intv, seq_len=seq_len)
+    (done, nseeds, o_rpos, o_len, o_k0, o_freq) = st
     cols = [(done.astype(jnp.int32) | (nseeds << 1))[:, None],
             ((o_rpos << 16) | o_len).T, o_k0.T, o_freq.T]
     return jnp.concatenate(cols, axis=1)
 
 
-def _seed_scan_kernel(blocks, L2, codes, rlens, state, *, primary, max_dup,
-                      max_seeds, max_iters, lut=None, lut_k=0):
+def _sel8(i, cols):
+    """Per-lane 8-way select by i in 0..7 from 8 column vectors."""
+    lo = _sel4(i & 3, cols[0], cols[1], cols[2], cols[3])
+    hi = _sel4(i & 3, cols[4], cols[5], cols[6], cols[7])
+    return jnp.where(i >= 4, hi, lo)
+
+
+def _clz32(v):
+    """Count leading zeros of a uint32 (bit-smear + full popcount)."""
+    v = v | (v >> 1)
+    v = v | (v >> 2)
+    v = v | (v >> 4)
+    v = v | (v >> 8)
+    v = v | (v >> 16)
+    v = v - ((v >> 1) & jnp.uint32(0x55555555))
+    v = (v & jnp.uint32(0x33333333)) + ((v >> 2) & jnp.uint32(0x33333333))
+    v = (v + (v >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return (32 - ((v * jnp.uint32(0x01010101)) >> 24)).astype(jnp.int32)
+
+
+def _seed_scan_kernel(table, L2, codes, rlens, state, *, primary, max_dup,
+                      max_seeds, max_iters, lut=None, lut_k=0,
+                      ref_off=0, sad_off=0, sa_intv=0, seq_len=0):
     """Device automaton replaying the reference seeding scan
     (IdentifySeedPairs, AlignmentCandidates.cpp:188-211): one lane per
     read; each iteration either (re)initializes the bidirectional
-    interval at the current scan position or consumes one read char via
-    backward search. Accepted MEMs (len >= 16, occ <= max_dup) are
-    emitted and the scan jumps past them; otherwise it advances by one.
-
-    Work per read is ~2x read length occ4 queries — the same count the
-    reference performs — instead of walking from every position. Seed
-    emission into the (S, R) output slabs happens at most once per lane
-    per iteration and is gated behind a lax.cond so iterations with no
-    emissions anywhere skip the slab traffic entirely.
-
-    Runs at most max_iters iterations and returns the full state tuple
-    (done first) so the host can compact unfinished lanes and resume.
+    interval at the current scan position or advances its walk. Accepted
+    MEMs (len >= 16, occ <= max_dup) are emitted and the scan jumps past
+    them; otherwise it advances by one. Seed emission into the (S, R)
+    output slabs happens at most once per lane per iteration and is
+    gated behind a lax.cond.
 
     With a K-mer LUT (build_lut), the init step consumes K characters in
     one iteration: alive K-mers jump straight to the stored interval;
     dead ones (absent from the genome, or an ambiguous base in the
     window) advance the scan by one — identical outcomes to walking,
     since any walk that dies before K < MIN_SEED_LEN is a rejected seed.
+
+    With ref_off/sad_off (the fast-extension path), a walk whose
+    interval narrows to a single occurrence (x2 == 1) leaves backward
+    search: the lane LF-walks to the occurrence's text position (mode
+    LOCATE) and then finishes the maximal exact match by comparing the
+    read against the genome 16 bases per iteration (mode COMPARE) —
+    equivalent by uniqueness: with one occurrence left, the pattern
+    extends exactly while the text at that occurrence matches. Such
+    seeds are emitted with freq == -1 and the genome position directly
+    in the k0 slot, which also removes them from the SA-locate pass.
+    The packed genome words and SA samples live as extra 8-word rows of
+    the same table (at ref_off/sad_off), so every mode's memory access
+    is the SAME single 2R-row gather.
     """
     R, L = codes.shape
     S = max_seeds
+    fast = ref_off > 0 and sa_intv > 0
     codes_i = codes.astype(jnp.int32)            # (R, L)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    if lut is not None and lut_k:
+    use_lut = lut is not None and lut_k > 0
+    if use_lut:
         # rolling K-mer keys per position; bad (ambiguous/out-of-read)
-        # windows index entry 0 with alive forced off via lkeys == -1
+        # windows are dead. The LUT states for every position are
+        # pre-gathered ONCE here (the LUT is a large table; per-
+        # iteration gathers from it are expensive) and read in-loop by
+        # cheap one-hot reductions.
         key = jnp.zeros((R, L), jnp.int32)
         bad = jnp.zeros((R, L), jnp.bool_)
         for j in range(lut_k):
@@ -446,24 +529,41 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, state, *, primary, max_dup,
                 [codes_i[:, j:], jnp.full((R, j), 4, jnp.int32)], axis=1)
             key = (key << 2) | jnp.minimum(cj, 3)
             bad = bad | (cj > 3)
-        lkeys = jnp.where(bad, -1, key)
+        pre = lut[jnp.where(bad, 0, key).reshape(-1)].reshape(R, L, 4)
+        li_x0 = pre[..., 0].astype(jnp.int32)
+        li_x1 = pre[..., 1].astype(jnp.int32)
+        li_x2 = jnp.where(bad, 0, pre[..., 2].astype(jnp.int32))
+    if fast:
+        # read codes packed 16/word (top-first) + an N mask that forces
+        # mismatches; one pad word so reads at (q>>4)+1 stay in range
+        Lw = L // 16
+        rwords = jnp.zeros((R, Lw + 1), jnp.uint32)
+        nwords = jnp.zeros((R, Lw + 1), jnp.uint32)
+        for k in range(16):
+            c = codes_i[:, k::16]
+            sh = jnp.uint32(2 * (15 - k))
+            rwords = rwords.at[:, :Lw].add(
+                jnp.minimum(c, 3).astype(jnp.uint32) << sh)
+            nwords = nwords.at[:, :Lw].add(
+                jnp.where(c > 3, jnp.uint32(3), jnp.uint32(0)) << sh)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, Lw + 1), 1)
 
     end_pos = jnp.maximum(rlens - 13, 0)
-    if state is None:
-        pos = jnp.zeros(R, jnp.int32)
-        cur = jnp.zeros(R, jnp.int32)  # cur == pos -> not initialized
-        x0 = jnp.zeros(R, jnp.int32)
-        x1 = jnp.zeros(R, jnp.int32)
-        x2 = jnp.zeros(R, jnp.int32)
-        nseeds = jnp.zeros(R, jnp.int32)
-        done = pos >= end_pos
-        out_rpos = jnp.zeros((S, R), jnp.int32)
-        out_len = jnp.zeros((S, R), jnp.int32)
-        out_k0 = jnp.zeros((S, R), jnp.int32)
-        out_freq = jnp.zeros((S, R), jnp.int32)
-    else:
-        (done, pos, cur, x0, x1, x2, nseeds,
-         out_rpos, out_len, out_k0, out_freq) = state
+    pos = jnp.zeros(R, jnp.int32)
+    cur = jnp.zeros(R, jnp.int32)  # cur == pos -> not initialized
+    x0 = jnp.zeros(R, jnp.int32)
+    x1 = jnp.zeros(R, jnp.int32)
+    x2 = jnp.zeros(R, jnp.int32)
+    nseeds = jnp.zeros(R, jnp.int32)
+    mode = jnp.zeros(R, jnp.int32)   # 0 scan, 1 locate, 2 compare
+    lk = jnp.zeros(R, jnp.int32)     # LOCATE: current row
+    steps = jnp.zeros(R, jnp.int32)  # LOCATE: LF steps taken
+    gbase = jnp.zeros(R, jnp.int32)  # COMPARE: occurrence pos - pos
+    done = pos >= end_pos
+    out_rpos = jnp.zeros((S, R), jnp.int32)
+    out_len = jnp.zeros((S, R), jnp.int32)
+    out_k0 = jnp.zeros((S, R), jnp.int32)
+    out_freq = jnp.zeros((S, R), jnp.int32)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
 
     def cond(st):
@@ -471,13 +571,28 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, state, *, primary, max_dup,
 
     def body(outer_st):
         st, it = outer_st
-        (done, pos, cur, x0, x1, x2, nseeds,
+        (done, pos, cur, x0, x1, x2, nseeds, mode, lk, steps, gbase,
          out_rpos, out_len, out_k0, out_freq) = st
 
         initing = (~done) & (cur == pos)
-        extending = (~done) & (cur > pos)
+        working = (~done) & (cur > pos)
+        scanning = working & (mode == 0)
+        if fast:
+            # a fresh x2==1 lane starts its LF walk THIS iteration
+            to_loc = scanning & (x2 == 1) & (cur < rlens)
+            scanning = scanning & ~to_loc
+            locating = (working & (mode == 1)) | to_loc
+            comparing = working & (mode == 2)
+            lk_eff = jnp.where(to_loc, x0, lk)
+            steps_eff = jnp.where(to_loc, 0, steps)
+        else:
+            to_loc = jnp.zeros_like(scanning)
+            locating = to_loc
+            comparing = to_loc
+            lk_eff = lk
+            steps_eff = steps
 
-        # one one-hot read serves both branches: initing lanes have
+        # one one-hot read serves init + scan: initing lanes have
         # cur == pos, so charat(cur) == charat(pos) (and keyat likewise)
         safe_cur = jnp.minimum(cur, L - 1)
         oh = iota_l == safe_cur[:, None]
@@ -486,14 +601,12 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, state, *, primary, max_dup,
         amb = ch > 3
         c_safe = jnp.minimum(ch, 3)
 
-        # ---- init values ----
-        if lut is not None and lut_k:
-            lkey = jnp.sum(jnp.where(oh, lkeys, 0), axis=1)
-            lrows = lut[jnp.maximum(lkey, 0)]
-            i_x0 = lrows[:, 0].astype(jnp.int32)
-            i_x1 = lrows[:, 1].astype(jnp.int32)
-            i_x2 = lrows[:, 2].astype(jnp.int32)
-            init_ok = (lkey >= 0) & (i_x2 > 0)
+        # ---- init values (LUT states pre-gathered before the loop) ----
+        if use_lut:
+            i_x0 = jnp.sum(jnp.where(oh, li_x0, 0), axis=1)
+            i_x1 = jnp.sum(jnp.where(oh, li_x1, 0), axis=1)
+            i_x2 = jnp.sum(jnp.where(oh, li_x2, 0), axis=1)
+            init_ok = i_x2 > 0
             init_jump = lut_k
         else:
             i_x0 = _l2_lookup(L2, c_safe) + 1
@@ -502,27 +615,102 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, state, *, primary, max_dup,
             init_ok = ~amb
             init_jump = 1
 
-        # ---- extend values (one merged occ gather) ----
-        q1 = jnp.where(extending, x1 - 1, 0)
-        q2 = jnp.where(extending, x1 - 1 + x2, 0)
-        tk, tl = _occ4_pair(blocks, q1, q2, primary)
-        starts, nx1, w = _backward_ext_state(L2, x0, x1, x2, tk, tl, primary)
+        # ---- THE gather: one 2R-row fetch serves every mode + init ----
+        q1 = jnp.where(scanning, x1 - 1, jnp.where(locating, lk_eff, 0))
+        q2 = jnp.where(scanning, x1 - 1 + x2, 0)
+        kkA = jnp.maximum(q1 - (q1 >= primary).astype(jnp.int32), 0)
+        kkB = jnp.maximum(q2 - (q2 >= primary).astype(jnp.int32), 0)
+        rowA = kkA >> 6
+        rowB = kkB >> 6
+        if fast:
+            loc_hit = locating & ((lk_eff % sa_intv) == 0)
+            goff = gbase + cur
+            gsafe = jnp.where(comparing, goff, 0)
+            rowA = jnp.where(comparing, ref_off + (gsafe >> 7),
+                             jnp.where(loc_hit,
+                                       sad_off + ((lk_eff // sa_intv) >> 3),
+                                       rowA))
+            rowB = jnp.where(comparing, ref_off + (gsafe >> 7) + 1, rowB)
+        else:
+            loc_hit = to_loc
+        rows = table[jnp.concatenate([rowA, rowB])]  # (2R, 8), one gather
+        colsA = [rows[:R, j] for j in range(8)]
+        colsB = [rows[R:, j] for j in range(8)]
+        occA = _occ4_cols(colsA, kkA)            # tk (scan) / occ (locate)
+        occB = _occ4_cols(colsB, kkB)            # tl (scan)
+
+        # ---- scan step ----
+        starts, nx1, w = _backward_ext_state(L2, x0, x1, x2, occA, occB,
+                                             primary)
         ci = 3 - c_safe
         wi = _sel4(ci, *w)
-        can_extend = extending & ~amb & (wi > 0)
-        seed_end = extending & ~can_extend
+        can_extend = scanning & ~amb & (wi > 0)
+        scan_end = scanning & ~can_extend
+
+        if fast:
+            # ---- locate step (bwt_sa LF walk, one row already fetched) ----
+            loc_step = locating & ~loc_hit
+            xx = lk_eff - (lk_eff > primary).astype(jnp.int32)
+            word = _sel4((xx >> 4) & 3, colsA[4], colsA[5], colsA[6], colsA[7])
+            cbit = ((word >> ((~xx & 15) << 1).astype(jnp.uint32)) & 3).astype(jnp.int32)
+            occ_c = _sel4(cbit, *occA)
+            lk_next = jnp.where(lk_eff == primary, 0,
+                                _l2_lookup(L2, cbit) + occ_c)
+            # sad value: extract from this lane's (sad) row
+            sad_val = jax.lax.bitcast_convert_type(
+                _sel8((lk_eff // sa_intv) & 7, colsA), jnp.int32)
+            g_abs = steps_eff + sad_val          # occurrence text position
+
+            # ---- compare step: 16 bases per iteration ----
+            jword = (gsafe >> 4) & 7
+            gw1 = _sel8(jword, colsA)
+            gw2 = jnp.where(jword < 7, _sel8(jword + 1, colsA), colsB[0])
+            aoff = ((gsafe & 15) << 1).astype(jnp.uint32)
+            gw = jnp.where(aoff == 0, gw1,
+                           (gw1 << aoff) | (gw2 >> (jnp.uint32(32) - aoff)))
+            qw = cur >> 4
+            ohw = iota_w == jnp.minimum(qw, Lw)[:, None]
+            ohw2 = iota_w == jnp.minimum(qw + 1, Lw)[:, None]
+            rw1 = jnp.sum(jnp.where(ohw, rwords, 0), axis=1)
+            rw2 = jnp.sum(jnp.where(ohw2, rwords, 0), axis=1)
+            nm1 = jnp.sum(jnp.where(ohw, nwords, 0), axis=1)
+            nm2 = jnp.sum(jnp.where(ohw2, nwords, 0), axis=1)
+            boff = ((cur & 15) << 1).astype(jnp.uint32)
+            rw = jnp.where(boff == 0, rw1,
+                           (rw1 << boff) | (rw2 >> (jnp.uint32(32) - boff)))
+            nm = jnp.where(boff == 0, nm1,
+                           (nm1 << boff) | (nm2 >> (jnp.uint32(32) - boff)))
+            v = (gw ^ rw) | nm
+            matched16 = jnp.where(v == 0, 16, _clz32(v) >> 1)
+            avail = jnp.minimum(jnp.minimum(16, rlens - cur),
+                                seq_len - goff)
+            matched = jnp.minimum(matched16, jnp.maximum(avail, 0))
+            cur_c = cur + jnp.where(comparing, matched, 0)
+            cmp_end = comparing & ((matched < 16) | (cur_c >= rlens) |
+                                   (gbase + cur_c >= seq_len))
+        else:
+            loc_step = to_loc
+            lk_next = lk
+            g_abs = steps
+            cur_c = cur
+            cmp_end = to_loc
 
         # ---- seed end: accept/emit/jump ----
-        length = cur - pos
-        acc = seed_end & (x2 <= max_dup) & (length >= 16)
+        any_end = scan_end | cmp_end
+        length = jnp.where(cmp_end, cur_c, cur) - pos
+        acc_scan = scan_end & (x2 <= max_dup) & (length >= 16)
+        acc_cmp = cmp_end & (length >= 16)       # unique: freq 1 <= max_dup
+        acc = acc_scan | acc_cmp
+        k0_val = jnp.where(cmp_end, gbase + pos, x0)
+        fr_val = jnp.where(cmp_end, -1, x2)
 
         def emit(args):
             o_rpos, o_len, o_k0, o_freq = args
             hit = acc[None, :] & (slot_ids == nseeds[None, :])  # (S, R)
             return (jnp.where(hit, pos[None, :], o_rpos),
                     jnp.where(hit, length[None, :], o_len),
-                    jnp.where(hit, x0[None, :], o_k0),
-                    jnp.where(hit, x2[None, :], o_freq))
+                    jnp.where(hit, k0_val[None, :], o_k0),
+                    jnp.where(hit, fr_val[None, :], o_freq))
 
         out_rpos, out_len, out_k0, out_freq = jax.lax.cond(
             jnp.any(acc), emit, lambda a: a,
@@ -530,25 +718,41 @@ def _seed_scan_kernel(blocks, L2, codes, rlens, state, *, primary, max_dup,
         nseeds = jnp.where(acc, nseeds + 1, nseeds)
 
         # ---- state update ----
-        new_pos = jnp.where(seed_end, jnp.where(acc, pos + length, pos + 1),
+        new_pos = jnp.where(any_end, jnp.where(acc, pos + length, pos + 1),
                             jnp.where(initing & ~init_ok, pos + 1, pos))
         new_cur = jnp.where(can_extend, cur + 1,
                             jnp.where(initing & init_ok, cur + init_jump,
-                                      new_pos))
+                            jnp.where(comparing & ~cmp_end, cur_c,
+                            jnp.where(locating, cur, new_pos))))
         x0n = jnp.where(can_extend, _sel4(ci, *starts),
                         jnp.where(initing & init_ok, i_x0, x0))
         x1n = jnp.where(can_extend, _sel4(ci, *nx1),
                         jnp.where(initing & init_ok, i_x1, x1))
         x2n = jnp.where(can_extend, wi,
                         jnp.where(initing & init_ok, i_x2, x2))
+        if fast:
+            mode_n = jnp.where(loc_hit & locating, 2,
+                               jnp.where(to_loc, 1,
+                                         jnp.where(any_end, 0, mode)))
+            lk_n = jnp.where(locating,
+                             jnp.where(loc_step, lk_next, lk_eff), lk)
+            steps_n = jnp.where(locating,
+                                jnp.where(loc_step, steps_eff + 1, steps_eff),
+                                steps)
+            gbase_n = jnp.where(loc_hit & locating, g_abs - pos, gbase)
+        else:
+            mode_n, lk_n, steps_n, gbase_n = mode, lk, steps, gbase
         done = done | (new_pos >= end_pos)
         return ((done, new_pos, new_cur, x0n, x1n, x2n, nseeds,
+                 mode_n, lk_n, steps_n, gbase_n,
                  out_rpos, out_len, out_k0, out_freq), it + 1)
 
-    st = (done, pos, cur, x0, x1, x2, nseeds,
+    st = (done, pos, cur, x0, x1, x2, nseeds, mode, lk, steps, gbase,
           out_rpos, out_len, out_k0, out_freq)
     st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
-    return st
+    (done, _, _, _, _, _, nseeds, _, _, _, _,
+     out_rpos, out_len, out_k0, out_freq) = st
+    return done, nseeds, out_rpos, out_len, out_k0, out_freq
 
 
 _LOCATE_UNFINISHED = -(2**31)

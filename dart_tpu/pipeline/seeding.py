@@ -88,7 +88,10 @@ def seed_occurrence_tables(engine, reads):
     n, rpos, slen, k0, freq = engine.seed_reads(codes, rlens)
     S = rpos.shape[1]
     valid = np.arange(S)[None, :] < n[:, None]
-    freq_v = np.where(valid, freq, 0).astype(np.int64)
+    # freq == -1 marks a "direct" seed (fast-extension path): unique
+    # occurrence, genome position already in the k0 slot
+    direct_seed = (valid & (freq < 0)).ravel()
+    freq_v = np.where(valid, np.where(freq < 0, 1, freq), 0).astype(np.int64)
     occ_per_seed = freq_v.ravel()
     total = int(occ_per_seed.sum())
     occ_off = np.zeros(len(reads) + 1, dtype=np.int64)
@@ -101,7 +104,12 @@ def seed_occurrence_tables(engine, reads):
     np.cumsum(occ_per_seed, out=cum[1:])
     within = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], occ_per_seed)
     rows = starts + within
-    occ_gpos = engine.locate(rows)
+    direct_occ = np.repeat(direct_seed, occ_per_seed)
+    occ_gpos = np.empty(total, dtype=np.int64)
+    occ_gpos[direct_occ] = rows[direct_occ]  # = gpos + within(0)
+    nd = ~direct_occ
+    if nd.any():
+        occ_gpos[nd] = engine.locate(rows[nd])
     occ_rpos = np.repeat(rpos.ravel(), occ_per_seed)
     occ_len = np.repeat(slen.ravel(), occ_per_seed)
     return occ_off, occ_rpos, occ_len, occ_gpos
@@ -115,12 +123,15 @@ def identify_seed_pairs_chunk(engine, reads, max_dup_num: int) -> list[list[Seed
     codes, rlens = build_codes_matrix(reads)
     n, rpos, slen, k0, freq = engine.seed_reads(codes, rlens)
 
-    # flatten all occurrences for one batched locate
+    # flatten all occurrences for one batched locate (freq == -1 =
+    # direct seed: gPos already in the k0 slot)
     rows_list = []
     for r in range(len(reads)):
         for s in range(int(n[r])):
-            rows_list.append(np.arange(int(k0[r, s]), int(k0[r, s]) + int(freq[r, s]),
-                                       dtype=np.int64))
+            if int(freq[r, s]) >= 0:
+                rows_list.append(np.arange(int(k0[r, s]),
+                                           int(k0[r, s]) + int(freq[r, s]),
+                                           dtype=np.int64))
     all_rows = np.concatenate(rows_list) if rows_list else np.empty(0, dtype=np.int64)
     locs = engine.locate(all_rows) if all_rows.shape[0] else all_rows
 
@@ -132,6 +143,11 @@ def identify_seed_pairs_chunk(engine, reads, max_dup_num: int) -> list[list[Seed
             p = int(rpos[r, s])
             ln = int(slen[r, s])
             f = int(freq[r, s])
+            if f < 0:
+                g = int(k0[r, s])
+                seeds.append(SeedPair(rPos=p, gPos=g, rLen=ln, gLen=ln,
+                                      PosDiff=g - p, bSimple=True))
+                continue
             for j in range(f):
                 g = int(locs[off + j])
                 seeds.append(SeedPair(rPos=p, gPos=g, rLen=ln, gLen=ln,
