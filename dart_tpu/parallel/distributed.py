@@ -171,6 +171,15 @@ def run_distributed(cfg, coordinator: str, num_processes: int,
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
+    if jax.process_count() != num_processes:
+        # some backends register distributed state without actually
+        # forming the process group; running on would silently drop
+        # every other host's output at the merge
+        raise RuntimeError(
+            f"jax.distributed formed {jax.process_count()} processes, "
+            f"expected {num_processes}; this backend cannot run "
+            "multi-host (use one process per host on a TPU pod, or the "
+            "CPU backend for local testing)")
     from jax.experimental import multihost_utils
 
     from ..aligner import DartAligner
