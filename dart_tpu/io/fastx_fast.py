@@ -1,0 +1,219 @@
+"""Vectorized FASTQ/FASTA chunk reader: parses whole buffers with
+NumPy into the blob+offsets form the native pipeline consumes, instead
+of materializing a Python object per read.
+
+Semantics mirror io/fastx (and the reference GetData.cpp): headers
+truncate at the first space/'/'/tab, the 2nd mate of paired input is
+reverse-complemented (qualities reversed) at load, chunks close at the
+read-count limit. Used for single-end and interleaved paired input on
+uncompressed files + gzip (whole-stream decode); split-file pairs fall
+back to the per-record reader.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+
+from ..constants import NT4_TABLE
+
+COMP_CODES = np.full(256, ord("N"), dtype=np.uint8)
+for _a, _b in [("A", "T"), ("a", "T"), ("C", "G"), ("c", "G"),
+               ("G", "C"), ("g", "C"), ("T", "A"), ("t", "A")]:
+    COMP_CODES[ord(_a)] = ord(_b)
+
+
+class BlobChunk:
+    """One chunk of reads in structure-of-blobs form."""
+
+    __slots__ = ("n", "seq_blob", "seq_off", "hdr_blob", "hdr_off",
+                 "qual_blob", "qual_off", "fastq")
+
+    def __init__(self, n, seq_blob, seq_off, hdr_blob, hdr_off,
+                 qual_blob, qual_off, fastq):
+        self.n = n
+        self.seq_blob = seq_blob
+        self.seq_off = seq_off
+        self.hdr_blob = hdr_blob
+        self.hdr_off = hdr_off
+        self.qual_blob = qual_blob
+        self.qual_off = qual_off
+        self.fastq = fastq
+
+    def __len__(self):
+        return self.n
+
+    def codes_matrix(self):
+        """(R, L) uint8 2-bit codes (4 = N) + (R,) lengths."""
+        lens = np.diff(self.seq_off)
+        R = self.n
+        L = int(lens.max()) if R else 1
+        codes = np.full((R, L), 4, dtype=np.uint8)
+        flat = NT4_TABLE[np.frombuffer(self.seq_blob, dtype=np.uint8)]
+        # scatter each read's codes into its row
+        idx = np.arange(self.seq_off[-1], dtype=np.int64)
+        row = np.repeat(np.arange(R, dtype=np.int64), lens)
+        col = idx - np.repeat(self.seq_off[:-1], lens)
+        codes[row, col] = flat
+        return codes, lens.astype(np.int32)
+
+    # compatibility helpers for the non-native paths / summaries
+    def seq(self, i):
+        return self.seq_blob[self.seq_off[i]:self.seq_off[i + 1]]
+
+    def header(self, i):
+        return self.hdr_blob[self.hdr_off[i]:self.hdr_off[i + 1]].decode(
+            "latin-1")
+
+
+def _header_spans(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Header begin/end per reference semantics: skip the '>'/'@' run,
+    cut at the first space/'/'/tab (else the full line)."""
+    # begin: first char after the marker run; the reference skips ALL
+    # leading '>'/'@' (GetData.cpp:55-63)
+    begs = starts + 1
+    # extend past any additional marker chars (rare)
+    for _ in range(2):
+        more = (begs < ends) & np.isin(buf[np.minimum(begs, buf.shape[0] - 1)],
+                                       (ord(">"), ord("@")))
+        if not more.any():
+            break
+        begs = begs + more
+    cut = np.isin(buf, (ord(" "), ord("/"), ord("\t")))
+    ccut = np.cumsum(cut)
+    out_end = ends.copy()
+    # first cut position within [begs, ends): binary search on cut idx
+    cut_pos = np.flatnonzero(cut)
+    if cut_pos.size:
+        k = np.searchsorted(cut_pos, begs, side="left")
+        has = (k < cut_pos.size)
+        cand = cut_pos[np.minimum(k, cut_pos.size - 1)]
+        use = has & (cand < ends)
+        out_end[use] = cand[use]
+    del ccut
+    return begs, out_end
+
+
+class FastChunkReader:
+    """Chunked vectorized reader over one (optionally gzipped) file.
+    Supports single-end and interleaved paired-end FASTQ/FASTA."""
+
+    def __init__(self, path: str, pair_end: bool, chunk_reads: int):
+        raw = open(path, "rb").read()
+        if path.endswith(".gz"):
+            raw = gzip.decompress(raw)
+        self.buf = np.frombuffer(raw, dtype=np.uint8)
+        self.raw = raw
+        self.fastq = raw[:1] == b"@"
+        self.pair_end = pair_end
+        self.chunk_reads = chunk_reads
+        self._parse()
+        self.cursor = 0
+
+    def _parse(self):
+        buf = self.buf
+        nl = np.flatnonzero(buf == 10)
+        if buf.shape[0] and buf[-1] != 10:
+            nl = np.concatenate([nl, [buf.shape[0]]])
+        line_starts = np.concatenate([[0], nl[:-1] + 1]).astype(np.int64)
+        line_ends = nl.astype(np.int64)  # exclusive of newline
+        if self.fastq:
+            n = line_starts.shape[0] // 4
+            hs = line_starts[0::4][:n]
+            he = line_ends[0::4][:n]
+            ss = line_starts[1::4][:n]
+            se = line_ends[1::4][:n]
+            qs = line_starts[3::4][:n]
+            # qual truncated to seq length (reference: GetData.cpp)
+            qe = np.minimum(qs + (se - ss), line_ends[3::4][:n])
+            self.n_reads = n
+            self.seq_s, self.seq_e = ss, se
+            self.qual_s, self.qual_e = qs, qe
+            hb, hcut = _header_spans(buf, hs, he)
+            self.hdr_s, self.hdr_e = hb, hcut
+        else:
+            # FASTA with arbitrary line wrapping: record = '>' line +
+            # following sequence lines concatenated
+            is_hdr = buf[line_starts] == ord(">")
+            hdr_idx = np.flatnonzero(is_hdr)
+            n = hdr_idx.shape[0]
+            self.n_reads = n
+            hs = line_starts[hdr_idx]
+            he = line_ends[hdr_idx]
+            hb, hcut = _header_spans(buf, hs, he)
+            self.hdr_s, self.hdr_e = hb, hcut
+            # per-record sequence line ranges
+            next_hdr = np.concatenate([hdr_idx[1:], [line_starts.shape[0]]])
+            self.fa_line_starts = line_starts
+            self.fa_line_ends = line_ends
+            self.fa_first = hdr_idx + 1
+            self.fa_last = next_hdr  # exclusive
+            self.qual_s = self.qual_e = None
+            self.seq_s = self.seq_e = None
+
+    def _slice_blob(self, starts, ends):
+        lens = ends - starts
+        off = np.zeros(lens.shape[0] + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        total = int(off[-1])
+        idx = np.arange(total, dtype=np.int64) + np.repeat(
+            starts - np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        blob = self.buf[idx].tobytes() if total else b""
+        return blob, off
+
+    def next_chunk(self):
+        a = self.cursor
+        b = min(a + self.chunk_reads, self.n_reads)
+        if self.pair_end:
+            b = a + ((b - a) & ~1)
+        if b <= a:
+            return None
+        self.cursor = b
+        sl = slice(a, b)
+        n = b - a
+        if self.fastq:
+            seq_blob, seq_off = self._slice_blob(self.seq_s[sl], self.seq_e[sl])
+            qual_blob, qual_off = self._slice_blob(self.qual_s[sl], self.qual_e[sl])
+        else:
+            # concatenate wrapped FASTA lines per record
+            parts = []
+            lens = np.zeros(n, dtype=np.int64)
+            for i in range(n):
+                j0 = self.fa_first[a + i]
+                j1 = self.fa_last[a + i]
+                s = b"".join(self.raw[self.fa_line_starts[j]:self.fa_line_ends[j]]
+                             for j in range(j0, j1))
+                parts.append(s)
+                lens[i] = len(s)
+            seq_blob = b"".join(parts)
+            seq_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=seq_off[1:])
+            qual_blob, qual_off = b"", None
+        hdr_blob, hdr_off = self._slice_blob(self.hdr_s[sl], self.hdr_e[sl])
+        if self.pair_end and self.fastq:
+            seq_blob, qual_blob = _revcomp_second_mates(
+                seq_blob, seq_off, qual_blob, qual_off)
+        elif self.pair_end:
+            seq_blob, _ = _revcomp_second_mates(seq_blob, seq_off, None, None)
+        return BlobChunk(n, seq_blob, seq_off, hdr_blob, hdr_off,
+                         qual_blob, qual_off, self.fastq)
+
+    def close(self):
+        pass
+
+
+def _revcomp_second_mates(seq_blob, seq_off, qual_blob, qual_off):
+    """Reverse-complement every odd-indexed read in place (the 2nd mate
+    of interleaved pairs; GetData.cpp:157-168)."""
+    arr = np.frombuffer(seq_blob, dtype=np.uint8).copy()
+    q = (np.frombuffer(qual_blob, dtype=np.uint8).copy()
+         if qual_blob else None)
+    n = seq_off.shape[0] - 1
+    for i in range(1, n, 2):
+        s, e = int(seq_off[i]), int(seq_off[i + 1])
+        arr[s:e] = COMP_CODES[arr[s:e]][::-1]
+        if q is not None:
+            qs, qe = int(qual_off[i]), int(qual_off[i + 1])
+            q[qs:qe] = q[qs:qe][::-1]
+    return arr.tobytes(), (q.tobytes() if q is not None else qual_blob)

@@ -114,22 +114,35 @@ class NativePipeline:
         are the flattened per-occurrence tables (see seeding module).
         Returns the chunk's SAM text."""
         n = len(reads)
-        seq_off = np.zeros(n + 1, dtype=np.int64)
-        hdr_off = np.zeros(n + 1, dtype=np.int64)
-        for i, r in enumerate(reads):
-            seq_off[i + 1] = seq_off[i] + len(r.seq)
-            hdr_off[i + 1] = hdr_off[i] + len(r.header)
-        seq_blob = b"".join(r.seq for r in reads)
-        hdr_blob = "".join(r.header for r in reads).encode("latin-1")
-        if fastq:
-            qual_off = np.zeros(n + 1, dtype=np.int64)
-            for i, r in enumerate(reads):
-                qual_off[i + 1] = qual_off[i] + len(r.qual or b"")
-            qual_blob = b"".join(r.qual or b"" for r in reads)
-            qptr = _ptr(qual_off, ctypes.c_int64)
+        if hasattr(reads, "seq_blob"):  # BlobChunk: zero-copy
+            seq_blob = reads.seq_blob
+            seq_off = _i64(reads.seq_off)
+            hdr_blob = reads.hdr_blob
+            hdr_off = _i64(reads.hdr_off)
+            if fastq:
+                qual_blob = reads.qual_blob
+                qual_off = _i64(reads.qual_off)
+                qptr = _ptr(qual_off, ctypes.c_int64)
+            else:
+                qual_blob = b""
+                qptr = None
         else:
-            qual_blob = b""
-            qptr = None
+            seq_off = np.zeros(n + 1, dtype=np.int64)
+            hdr_off = np.zeros(n + 1, dtype=np.int64)
+            for i, r in enumerate(reads):
+                seq_off[i + 1] = seq_off[i] + len(r.seq)
+                hdr_off[i + 1] = hdr_off[i] + len(r.header)
+            seq_blob = b"".join(r.seq for r in reads)
+            hdr_blob = "".join(r.header for r in reads).encode("latin-1")
+            if fastq:
+                qual_off = np.zeros(n + 1, dtype=np.int64)
+                for i, r in enumerate(reads):
+                    qual_off[i + 1] = qual_off[i] + len(r.qual or b"")
+                qual_blob = b"".join(r.qual or b"" for r in reads)
+                qptr = _ptr(qual_off, ctypes.c_int64)
+            else:
+                qual_blob = b""
+                qptr = None
         occ_off = _i64(occ_off)
         occ_rpos = _i32(occ_rpos)
         occ_len = _i32(occ_len)

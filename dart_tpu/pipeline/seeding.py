@@ -84,7 +84,10 @@ def seed_occurrence_tables(engine, reads):
     [occ_off[r], occ_off[r+1]) belong to read r (unsorted; the consumer
     sorts by (gPos, rPos) as the reference does after IdentifySeedPairs).
     """
-    codes, rlens = build_codes_matrix(reads)
+    if hasattr(reads, "codes_matrix"):
+        codes, rlens = reads.codes_matrix()
+    else:
+        codes, rlens = build_codes_matrix(reads)
     n, rpos, slen, k0, freq = engine.seed_reads(codes, rlens)
     S = rpos.shape[1]
     valid = np.arange(S)[None, :] < n[:, None]
