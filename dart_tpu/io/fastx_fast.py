@@ -164,9 +164,9 @@ class FastChunkReader:
 
     def next_chunk(self):
         a = self.cursor
-        b = min(a + self.chunk_reads, self.n_reads)
-        if self.pair_end:
-            b = a + ((b - a) & ~1)
+        # the streaming reader pulls records pairwise, so chunk sizes
+        # round up to even (GetNextChunk semantics)
+        b = min(a + ((self.chunk_reads + 1) & ~1), self.n_reads)
         if b <= a:
             return None
         self.cursor = b

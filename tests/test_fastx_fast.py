@@ -1,0 +1,75 @@
+"""The vectorized blob reader must produce byte-identical records to
+the streaming per-record reader on every input shape it accepts."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from dart_tpu.io.fastx import ChunkReader
+from dart_tpu.io.fastx_fast import FastChunkReader
+
+
+def _collect_slow(path, pair_end, chunk):
+    r = ChunkReader(path, None, pair_end, chunk_reads=chunk)
+    out = []
+    while True:
+        reads = r.next_chunk()
+        if not reads:
+            break
+        out.append(reads)
+    r.close()
+    return out
+
+
+def _collect_fast(path, pair_end, chunk):
+    r = FastChunkReader(path, pair_end, chunk)
+    out = []
+    while True:
+        c = r.next_chunk()
+        if c is None:
+            break
+        out.append(c)
+    return out
+
+
+def _compare(path, pair_end=False, chunk=7):
+    slow = _collect_slow(path, pair_end, chunk)
+    fast = _collect_fast(path, pair_end, chunk)
+    assert [len(c) for c in slow] == [len(c) for c in fast]
+    for sc, fc in zip(slow, fast):
+        for i, read in enumerate(sc):
+            assert fc.header(i) == read.header
+            assert fc.seq(i) == read.seq
+            if fc.fastq:
+                q = fc.qual_blob[fc.qual_off[i]:fc.qual_off[i + 1]]
+                assert q == read.qual
+        codes, rlens = fc.codes_matrix()
+        for i, read in enumerate(sc):
+            assert rlens[i] == read.rlen
+            np.testing.assert_array_equal(codes[i, :read.rlen], read.codes)
+
+
+def test_fastq_single_end(data_dir):
+    _compare(str(data_dir / "se_mm.fq"))
+
+
+def test_fastq_interleaved_pairs(data_dir):
+    _compare(str(data_dir / "pe_inter.fq"), pair_end=True, chunk=10)
+
+
+def test_fastq_gz(data_dir):
+    _compare(str(data_dir / "pe_1.fq.gz"))
+
+
+def test_fasta_single_line(data_dir):
+    _compare(str(data_dir / "se_exact.fa"))
+
+
+def test_fasta_multiline(tmp_path):
+    # wrapped sequence lines + headers with comments and '/' cuts
+    p = tmp_path / "wrapped.fa"
+    p.write_text(">r1 some comment\nACGTACGT\nGGTT\nA\n"
+                 ">r2/2\nTTTT\n"
+                 ">r3\nacgtN\nNNAC\n")
+    _compare(str(p), chunk=2)
