@@ -94,6 +94,9 @@ class DartAligner:
         self.engine = engine if engine is not None else make_engine(idx, cfg)
         self.sj_map: dict = {}
         self.counters = {"total": 0, "unique": 0, "unmapped": 0, "paired": 0}
+        self.stats = {"device_seed_locate_s": 0.0, "device_wait_s": 0.0,
+                      "native_finalize_s": 0.0, "input_parse_s": 0.0,
+                      "output_s": 0.0, "chunks": 0}
         self.native = None
         if cfg.native:
             try:
@@ -176,14 +179,24 @@ class DartAligner:
 
         from .pipeline.seeding import seed_occurrence_tables
 
+        def device_stage(reads):
+            t0 = time.time()
+            out = seed_occurrence_tables(self.engine, reads)
+            self.stats["device_seed_locate_s"] += time.time() - t0
+            return out
+
         with ThreadPoolExecutor(1) as ex:
             pending = None
+            t0 = time.time()
             reads = reader.next_chunk()
+            self.stats["input_parse_s"] += time.time() - t0
             while reads:
-                fut = ex.submit(seed_occurrence_tables, self.engine, reads)
+                fut = ex.submit(device_stage, reads)
                 if pending is not None:
                     self._finish_chunk(pending, pair_end, reader.fastq, emit)
+                t0 = time.time()
                 next_reads = reader.next_chunk()
+                self.stats["input_parse_s"] += time.time() - t0
                 pending = (reads, fut)
                 reads = next_reads
             if pending is not None:
@@ -191,10 +204,18 @@ class DartAligner:
 
     def _finish_chunk(self, pending, pair_end: bool, fastq: bool, emit) -> None:
         reads, fut = pending
+        t0 = time.time()
         occ_off, occ_rpos, occ_len, occ_gpos = fut.result()
-        emit(self.native.process_chunk(
+        self.stats["device_wait_s"] += time.time() - t0
+        t0 = time.time()
+        sam = self.native.process_chunk(
             reads, pair_end and len(reads) % 2 == 0, fastq,
-            occ_off, occ_rpos, occ_len, occ_gpos, self.counters))
+            occ_off, occ_rpos, occ_len, occ_gpos, self.counters)
+        self.stats["native_finalize_s"] += time.time() - t0
+        t0 = time.time()
+        emit(sam)
+        self.stats["output_s"] += time.time() - t0
+        self.stats["chunks"] += 1
 
     def header_lines(self) -> list[str]:
         lines = [f"@PG\tID:Dart\tPN:Dart\tVN:{VERSION_STR}"]
@@ -347,6 +368,16 @@ class DartAligner:
             os.remove(self._ckpt_path())
         if not cfg.silent:
             print("", file=sys.stderr)
+        if cfg.stats:
+            wall = time.time() - start
+            s = self.stats
+            print(f"[stats] wall {wall:.2f}s, {s['chunks']} chunks, "
+                  f"{self.counters['total'] / max(wall, 1e-9):.0f} reads/s",
+                  file=sys.stderr)
+            print(f"[stats] device seed+locate {s['device_seed_locate_s']:.2f}s "
+                  f"(stall {s['device_wait_s']:.2f}s) | native finalize "
+                  f"{s['native_finalize_s']:.2f}s | input {s['input_parse_s']:.2f}s "
+                  f"| output {s['output_s']:.2f}s", file=sys.stderr)
         self.print_summary(n_sj)
 
     def print_summary(self, n_sj: int) -> None:

@@ -108,6 +108,8 @@ def parse_args(argv: list[str]) -> DartConfig | None:
             cfg.native = False
         elif a == "--checkpoint":
             cfg.checkpoint = True
+        elif a == "--stats":
+            cfg.stats = True
         elif a == "--dist-coordinator":
             i += 1
             cfg.dist_coordinator = argv[i]

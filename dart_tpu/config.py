@@ -31,6 +31,7 @@ class DartConfig:
     batch_reads: int = 32768  # device batch; output-invariant
     native: bool = True       # C++ host pipeline (fallback: pure Python)
     checkpoint: bool = False  # per-chunk cursor persistence + resume
+    stats: bool = False       # per-stage timing report on stderr
     # multi-host run (jax.distributed); nprocs > 1 activates
     dist_coordinator: str = "127.0.0.1:49178"
     dist_nprocs: int = 1
