@@ -44,7 +44,7 @@ def build(force: bool = False) -> str:
             srcs = [os.path.join(_HERE, s) for s in SOURCES if os.path.exists(os.path.join(_HERE, s))]
             cmd = [
                 "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-                *srcs, "-o", lib + ".tmp",
+                "-pthread", *srcs, "-o", lib + ".tmp",
             ]
             subprocess.run(cmd, check=True, capture_output=True)
             os.replace(lib + ".tmp", lib)

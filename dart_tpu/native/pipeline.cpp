@@ -14,11 +14,13 @@
 // Interface: plain C ABI driven through ctypes (native/build.py).
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <map>
 #include <string>
+#include <thread>
 #include <utility>
 #include <vector>
 
@@ -1407,7 +1409,8 @@ void dart_pipe_destroy(void* ctx) { delete (Ctx*)ctx; }
 // via dart_pipe_sam_ptr until the next call. counters_out: int64[3]
 // {unique, unmapped, paired} cumulative deltas for this chunk.
 int64_t dart_pipe_chunk(void* ctxp, int32_t n_reads, int32_t pair_end,
-                        int32_t fastq, const char* seq_blob,
+                        int32_t fastq, int32_t n_threads,
+                        const char* seq_blob,
                         const int64_t* seq_off, const char* qual_blob,
                         const int64_t* qual_off, const char* hdr_blob,
                         const int64_t* hdr_off, const int64_t* occ_off,
@@ -1431,9 +1434,15 @@ int64_t dart_pipe_chunk(void* ctxp, int32_t n_reads, int32_t pair_end,
     rd.hlen = (int32_t)(hdr_off[r + 1] - hdr_off[r]);
   }
 
-  std::vector<Seed> seeds;
-  if (pair_end && n_reads % 2 == 0) {
-    for (int32_t i = 0; i + 1 < n_reads; i += 2) {
+  const bool paired = pair_end && n_reads % 2 == 0;
+  const int32_t step = paired ? 2 : 1;
+
+  // compute phase: per read (pair), no shared mutable state — splice
+  // junctions and output run serially afterwards so results and the
+  // junction table are identical at any thread count (unlike the
+  // reference, whose SAM record order changes with -t > 1)
+  auto compute = [&](int32_t i, std::vector<Seed>& seeds) {
+    if (paired) {
       Read& r1 = reads[(size_t)i];
       Read& r2 = reads[(size_t)(i + 1)];
       build_seeds(S, i, seeds);
@@ -1450,17 +1459,7 @@ int64_t dart_pipe_chunk(void* ctxp, int32_t n_reads, int32_t pair_end,
       set_paired_flag(r1, r2);
       evaluate_mapq(r1);
       evaluate_mapq(r2);
-      if (!r1.cans.empty() &&
-          (r1.mapq == MAX_MAPQ || (C.all_sj && r1.score > 0)))
-        update_sj(C, r1.cans[(size_t)r1.best]);
-      if (!r2.cans.empty() &&
-          (r2.mapq == MAX_MAPQ || (C.all_sj && r2.score > 0)))
-        update_sj(C, r2.cans[(size_t)r2.best]);
-    }
-    for (int32_t i = 0; i + 1 < n_reads; i += 2)
-      output_paired(C, reads[(size_t)i], reads[(size_t)(i + 1)], fastq != 0);
-  } else {
-    for (int32_t i = 0; i < n_reads; ++i) {
+    } else {
       Read& rd = reads[(size_t)i];
       build_seeds(S, i, seeds);
       gen_candidates(C, rd.rlen, seeds, rd.cans);
@@ -1468,10 +1467,50 @@ int64_t dart_pipe_chunk(void* ctxp, int32_t n_reads, int32_t pair_end,
       gen_mapping_report(C, true, rd);
       set_single_flag(rd);
       evaluate_mapq(rd);
-      if (!rd.cans.empty() &&
-          (rd.mapq == MAX_MAPQ || (C.all_sj && rd.score > 0)))
-        update_sj(C, rd.cans[(size_t)rd.best]);
     }
+  };
+
+  int nt = n_threads > 1 ? n_threads : 1;
+  unsigned hw = std::thread::hardware_concurrency();
+  if (hw && (unsigned)nt > hw) nt = (int)hw;
+  if (nt > 1 && n_reads >= 2 * step) {
+    std::atomic<int32_t> next{0};
+    auto worker = [&]() {
+      std::vector<Seed> seeds;
+      while (true) {
+        int32_t unit = next.fetch_add(64);
+        int32_t lo = unit * step;
+        if (lo >= n_reads) break;
+        int32_t hi = std::min(lo + 64 * step, n_reads);
+        for (int32_t i = lo; i < hi; i += step) compute(i, seeds);
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 1; t < nt; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+  } else {
+    std::vector<Seed> seeds;
+    for (int32_t i = 0; i < n_reads; i += step) compute(i, seeds);
+  }
+
+  // serial phase: junction accumulation + ordered output
+  for (int32_t i = 0; i < n_reads; i += step) {
+    Read& r1 = reads[(size_t)i];
+    if (!r1.cans.empty() &&
+        (r1.mapq == MAX_MAPQ || (C.all_sj && r1.score > 0)))
+      update_sj(C, r1.cans[(size_t)r1.best]);
+    if (paired) {
+      Read& r2 = reads[(size_t)(i + 1)];
+      if (!r2.cans.empty() &&
+          (r2.mapq == MAX_MAPQ || (C.all_sj && r2.score > 0)))
+        update_sj(C, r2.cans[(size_t)r2.best]);
+    }
+  }
+  if (paired) {
+    for (int32_t i = 0; i + 1 < n_reads; i += 2)
+      output_paired(C, reads[(size_t)i], reads[(size_t)(i + 1)], fastq != 0);
+  } else {
     for (int32_t i = 0; i < n_reads; ++i)
       output_single(C, reads[(size_t)i], fastq != 0);
   }

@@ -45,6 +45,7 @@ def _bind():
     c.dart_pipe_chunk.restype = ctypes.c_int64
     c.dart_pipe_chunk.argtypes = [
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
         ctypes.c_char_p, i64p, ctypes.c_char_p, i64p, ctypes.c_char_p, i64p,
         i64p, i32p, i32p, i64p, i64p]
     c.dart_pipe_sam_ptr.restype = ctypes.c_void_p
@@ -98,6 +99,7 @@ class NativePipeline:
             int(cfg.min_intron_size), int(cfg.max_mismatch),
             int(cfg.multi_hit), int(cfg.unique_only),
             int(cfg.find_all_junction))
+        self.threads = int(cfg.threads)
         if not self.ctx:
             raise RuntimeError("dart_pipe_create failed")
 
@@ -149,7 +151,7 @@ class NativePipeline:
         occ_gpos = _i64(occ_gpos)
         cnt = np.zeros(3, dtype=np.int64)
         size = self._c.dart_pipe_chunk(
-            self.ctx, n, int(pair_end), int(fastq),
+            self.ctx, n, int(pair_end), int(fastq), self.threads,
             seq_blob, _ptr(seq_off, ctypes.c_int64),
             qual_blob, qptr,
             hdr_blob, _ptr(hdr_off, ctypes.c_int64),
