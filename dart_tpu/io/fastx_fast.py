@@ -75,23 +75,32 @@ def _header_spans(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     begs = starts + 1
     # extend past any additional marker chars (rare)
     for _ in range(2):
-        more = (begs < ends) & np.isin(buf[np.minimum(begs, buf.shape[0] - 1)],
-                                       (ord(">"), ord("@")))
+        at = buf[np.minimum(begs, buf.shape[0] - 1)]
+        more = (begs < ends) & ((at == ord(">")) | (at == ord("@")))
         if not more.any():
             break
         begs = begs + more
-    cut = np.isin(buf, (ord(" "), ord("/"), ord("\t")))
-    ccut = np.cumsum(cut)
+    # scan only the header bytes (a small fraction of the buffer) for
+    # the first space/'/'/tab per line
+    lens = ends - begs
+    off = np.zeros(lens.shape[0] + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    total = int(off[-1])
     out_end = ends.copy()
-    # first cut position within [begs, ends): binary search on cut idx
-    cut_pos = np.flatnonzero(cut)
-    if cut_pos.size:
-        k = np.searchsorted(cut_pos, begs, side="left")
-        has = (k < cut_pos.size)
-        cand = cut_pos[np.minimum(k, cut_pos.size - 1)]
-        use = has & (cand < ends)
-        out_end[use] = cand[use]
-    del ccut
+    if total:
+        idx = np.arange(total, dtype=np.int64) + np.repeat(begs - off[:-1],
+                                                           lens)
+        hb = buf[idx]
+        cut = (hb == ord(" ")) | (hb == ord("/")) | (hb == ord("\t"))
+        cut_pos = np.flatnonzero(cut)
+        if cut_pos.size:
+            rows = np.searchsorted(off, cut_pos, side="right") - 1
+            first = np.full(lens.shape[0], np.iinfo(np.int64).max,
+                            dtype=np.int64)
+            np.minimum.at(first, rows, cut_pos)
+            has = first < np.iinfo(np.int64).max
+            ri = np.flatnonzero(has)
+            out_end[ri] = begs[ri] + (first[ri] - off[ri])
     return begs, out_end
 
 
