@@ -303,14 +303,19 @@ class DartAligner:
         for file_idx, (path1, path2) in enumerate(zip(cfg.read_files_1, files2)):
             if resume is not None and file_idx < resume["file_idx"]:
                 continue
-            # single-file inputs of manageable size use the vectorized
-            # whole-buffer reader feeding the native pipeline blobs
-            if (self.native is not None and path2 is None
-                    and os.path.getsize(path1) < (8 << 30)):
+            # inputs of manageable size use the vectorized whole-buffer
+            # readers feeding the native pipeline blobs
+            small = os.path.getsize(path1) < (8 << 30)
+            if self.native is not None and path2 is None and small:
                 from .io.fastx_fast import FastChunkReader
 
                 reader = FastChunkReader(path1, cfg.pair_end,
                                          cfg.batch_reads)
+            elif (self.native is not None and path2 is not None and small
+                  and os.path.getsize(path2) < (8 << 30)):
+                from .io.fastx_fast import FastPairedReader
+
+                reader = FastPairedReader(path1, path2, cfg.batch_reads)
             else:
                 reader = ChunkReader(path1, path2, cfg.pair_end,
                                      chunk_reads=cfg.batch_reads)

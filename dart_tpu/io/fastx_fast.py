@@ -161,6 +161,23 @@ class FastChunkReader:
             self.qual_s = self.qual_e = None
             self.seq_s = self.seq_e = None
 
+    def _fasta_seq_blob(self, a, b):
+        """Sequences of records [a, b): wrapped lines concatenated."""
+        n = b - a
+        parts = []
+        lens = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            j0 = self.fa_first[a + i]
+            j1 = self.fa_last[a + i]
+            s = b"".join(self.raw[self.fa_line_starts[j]:self.fa_line_ends[j]]
+                         for j in range(j0, j1))
+            parts.append(s)
+            lens[i] = len(s)
+        seq_blob = b"".join(parts)
+        seq_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=seq_off[1:])
+        return seq_blob, seq_off
+
     def _slice_blob(self, starts, ends):
         lens = ends - starts
         off = np.zeros(lens.shape[0] + 1, dtype=np.int64)
@@ -185,19 +202,7 @@ class FastChunkReader:
             seq_blob, seq_off = self._slice_blob(self.seq_s[sl], self.seq_e[sl])
             qual_blob, qual_off = self._slice_blob(self.qual_s[sl], self.qual_e[sl])
         else:
-            # concatenate wrapped FASTA lines per record
-            parts = []
-            lens = np.zeros(n, dtype=np.int64)
-            for i in range(n):
-                j0 = self.fa_first[a + i]
-                j1 = self.fa_last[a + i]
-                s = b"".join(self.raw[self.fa_line_starts[j]:self.fa_line_ends[j]]
-                             for j in range(j0, j1))
-                parts.append(s)
-                lens[i] = len(s)
-            seq_blob = b"".join(parts)
-            seq_off = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(lens, out=seq_off[1:])
+            seq_blob, seq_off = self._fasta_seq_blob(a, b)
             qual_blob, qual_off = b"", None
         hdr_blob, hdr_off = self._slice_blob(self.hdr_s[sl], self.hdr_e[sl])
         if self.pair_end and self.fastq:
@@ -206,6 +211,81 @@ class FastChunkReader:
         elif self.pair_end:
             seq_blob, _ = _revcomp_second_mates(seq_blob, seq_off, None, None)
         return BlobChunk(n, seq_blob, seq_off, hdr_blob, hdr_off,
+                         qual_blob, qual_off, self.fastq)
+
+    def close(self):
+        pass
+
+
+class FastPairedReader:
+    """Split-file paired input (-f/-f2): both files parse vectorized;
+    chunks interleave mate1/mate2 per pair with the 2nd mate
+    reverse-complemented, matching the streaming reader's layout."""
+
+    def __init__(self, path1: str, path2: str, chunk_reads: int):
+        self.r1 = FastChunkReader(path1, False, chunk_reads)
+        self.r2 = FastChunkReader(path2, False, chunk_reads)
+        self.fastq = self.r1.fastq
+        self.pair_end = True
+        self.pairs_per_chunk = ((chunk_reads + 1) & ~1) // 2
+        self.cursor = 0
+        self.n_pairs = min(self.r1.n_reads, self.r2.n_reads)
+
+    @staticmethod
+    def _interleave(bufA, sA, eA, bufB, sB, eB):
+        lensA = (eA - sA).astype(np.int64)
+        lensB = (eB - sB).astype(np.int64)
+        n = lensA.shape[0]
+        lens = np.empty(2 * n, np.int64)
+        lens[0::2] = lensA
+        lens[1::2] = lensB
+        off = np.zeros(2 * n + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        out = np.empty(int(off[-1]), np.uint8)
+
+        def place(buf, starts, seg_lens, tgt_starts):
+            total = int(seg_lens.sum())
+            if not total:
+                return
+            c0 = np.zeros(seg_lens.shape[0], np.int64)
+            np.cumsum(seg_lens[:-1], out=c0[1:])
+            k = np.arange(total, dtype=np.int64)
+            src = k + np.repeat(starts - c0, seg_lens)
+            tgt = k + np.repeat(tgt_starts - c0, seg_lens)
+            out[tgt] = buf[src]
+
+        place(bufA, sA.astype(np.int64), lensA, off[0:-1:2])
+        place(bufB, sB.astype(np.int64), lensB, off[1::2])
+        return out.tobytes(), off
+
+    def next_chunk(self):
+        a = self.cursor
+        b = min(a + self.pairs_per_chunk, self.n_pairs)
+        if b <= a:
+            return None
+        self.cursor = b
+        sl = slice(a, b)
+        r1, r2 = self.r1, self.r2
+        if self.fastq:
+            seq_blob, seq_off = self._interleave(
+                r1.buf, r1.seq_s[sl], r1.seq_e[sl],
+                r2.buf, r2.seq_s[sl], r2.seq_e[sl])
+            qual_blob, qual_off = self._interleave(
+                r1.buf, r1.qual_s[sl], r1.qual_e[sl],
+                r2.buf, r2.qual_s[sl], r2.qual_e[sl])
+        else:
+            b1, o1 = r1._fasta_seq_blob(a, b)
+            b2, o2 = r2._fasta_seq_blob(a, b)
+            seq_blob, seq_off = self._interleave(
+                np.frombuffer(b1, np.uint8), o1[:-1], o1[1:],
+                np.frombuffer(b2, np.uint8), o2[:-1], o2[1:])
+            qual_blob, qual_off = b"", None
+        hdr_blob, hdr_off = self._interleave(
+            r1.buf, r1.hdr_s[sl], r1.hdr_e[sl],
+            r2.buf, r2.hdr_s[sl], r2.hdr_e[sl])
+        seq_blob, qual_blob = _revcomp_second_mates(
+            seq_blob, seq_off, qual_blob if self.fastq else None, qual_off)
+        return BlobChunk(2 * (b - a), seq_blob, seq_off, hdr_blob, hdr_off,
                          qual_blob, qual_off, self.fastq)
 
     def close(self):

@@ -73,3 +73,35 @@ def test_fasta_multiline(tmp_path):
                  ">r2/2\nTTTT\n"
                  ">r3\nacgtN\nNNAC\n")
     _compare(str(p), chunk=2)
+
+
+def test_paired_split_files(data_dir):
+    from dart_tpu.io.fastx_fast import FastPairedReader
+
+    slow = _collect_slow2(str(data_dir / "pe_1.fq"), str(data_dir / "pe_2.fq"))
+    fast = []
+    r = FastPairedReader(str(data_dir / "pe_1.fq"), str(data_dir / "pe_2.fq"), 64)
+    while True:
+        c = r.next_chunk()
+        if c is None:
+            break
+        fast.append(c)
+    assert [len(c) for c in slow] == [len(c) for c in fast]
+    for sc, fc in zip(slow, fast):
+        for i, read in enumerate(sc):
+            assert fc.header(i) == read.header
+            assert fc.seq(i) == read.seq
+            q = fc.qual_blob[fc.qual_off[i]:fc.qual_off[i + 1]]
+            assert q == read.qual
+
+
+def _collect_slow2(p1, p2):
+    r = ChunkReader(p1, p2, True, chunk_reads=64)
+    out = []
+    while True:
+        reads = r.next_chunk()
+        if not reads:
+            break
+        out.append(reads)
+    r.close()
+    return out
