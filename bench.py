@@ -170,7 +170,7 @@ def measure_ours(fq: str, prefix: str) -> tuple[float, dict]:
     # run reflects steady-state capability, mirroring the reference
     # side's best-of-2
     best = None
-    for _ in range(4):
+    for _ in range(6):
         aligner = DartAligner(idx, cfg, engine)
         t0 = time.time()
         with contextlib.redirect_stdout(sys.stderr):
