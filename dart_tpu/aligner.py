@@ -98,7 +98,9 @@ class DartAligner:
                       "native_finalize_s": 0.0, "input_parse_s": 0.0,
                       "output_s": 0.0, "chunks": 0}
         self.native = None
-        if cfg.native:
+        # -d uses the introspectable single-threaded Python pipeline
+        # (the reference forces one thread under -d, Mapping.cpp:757)
+        if cfg.native and not cfg.debug:
             try:
                 from .pipeline.native_chunk import NativePipeline
 
@@ -109,6 +111,10 @@ class DartAligner:
     # ---- per-chunk processing ----
 
     def process_chunk(self, reads, pair_end: bool, fastq: bool):
+        if self.cfg.debug:
+            # -d: single-threaded Python pipeline with candidate traces
+            # (reference Mapping.cpp:757 forces one thread under -d)
+            return self._process_chunk_py(reads, pair_end, fastq)
         if self.native is not None:
             from .pipeline.seeding import seed_occurrence_tables
 
@@ -154,6 +160,10 @@ class DartAligner:
             for i, read in enumerate(reads):
                 av = generate_alignment_candidates(idx, cfg, read.rlen, seeds_per_read[i])
                 remove_redundant_candidates(av)
+                if cfg.debug:
+                    from .pipeline.structs import show_candidate_info
+
+                    show_candidate_info(idx, True, read.header, av)
                 gen_mapping_report(idx, cfg, True, read, av)
                 set_single_alignment_flag(read)
                 evaluate_mapq(read)

@@ -60,3 +60,30 @@ class AlignmentReport:
 def sort_by_genome_pos(seeds: list[SeedPair]) -> None:
     """CompByGenomePos (AlignmentCandidates.cpp:21-25)."""
     seeds.sort(key=lambda s: (s.gPos, s.rPos))
+
+
+def show_candidate_info(idx, b_first_read: bool, header: str,
+                        alignments: list[AlignmentCandidate]) -> None:
+    """-d trace (ShowAlignmentCandidateInfo, Mapping.cpp:50-66 +
+    ShowSeedInfo, tools.cpp:116-128)."""
+    print("\n" + "-" * 100)
+    print(f"Alignment Candidate for read {header} /{1 if b_first_read else 2}")
+    for c_i, can in enumerate(alignments):
+        if can.Score == 0:
+            continue
+        print(f"\tcandidate#{c_i + 1}: Score={can.Score}")
+        for s_i, s in enumerate(can.SeedVec):
+            if s.rLen > 0 or s.gLen > 0:
+                print(f"\t\tseed#{s_i + 1}: R[{s.rPos}-{s.rPos + s.rLen - 1}]"
+                      f"={s.rLen} G[{s.gPos}-{s.gPos + s.gLen - 1}]={s.gLen} "
+                      f"Diff={s.PosDiff} "
+                      f"{'Simple' if s.bSimple else 'Normal'}")
+                g = s.gPos if s.gPos < idx.genome_size else s.gPos + s.gLen - 1
+                k = idx.chr_lower_bound(g)
+                ci = int(idx.chr_end_idx[k])
+                loc = (g - idx.chromosomes[ci].forward_location
+                       if g < idx.genome_size
+                       else int(idx.chr_end_keys[k]) - g)
+                print(f"\t\t\t\t\tChr [{idx.chromosomes[ci].name}, {loc}]")
+        print("\n")
+    print("-" * 100 + "\n")
