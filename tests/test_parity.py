@@ -57,3 +57,34 @@ def test_output_parity_jax_engine(name, toy_index, data_dir, golden_dir, tmp_pat
                          engine="jax")
     assert sam == (golden_dir / f"{name}.sam").read_text()
     assert sj == (golden_dir / f"{name}.junctions.tab").read_text()
+
+
+@pytest.mark.parametrize("name", ["c3_spliced", "c5_pe"])
+def test_output_parity_python_pipeline(name, toy_index, data_dir, golden_dir,
+                                       tmp_path, capsys):
+    """The pure-Python pipeline (the parity oracle / -d path) must stay
+    bit-identical to the native pipeline and the goldens."""
+    spec = dict(CONFIGS[name])
+    cfg_patch = dict(spec)
+    sam, sj = run_config(name, cfg_patch, toy_index, data_dir, tmp_path,
+                         engine="numpy")
+    # force the python path via a fresh run with native disabled
+    cfg = DartConfig()
+    cfg.read_files_1 = [str(data_dir / f) for f in spec["r1"]]
+    cfg.read_files_2 = [str(data_dir / f) for f in spec.get("r2", [])]
+    cfg.max_mismatch = spec.get("mis", 0)
+    cfg.native = False
+    cfg.sj_file = str(tmp_path / f"{name}_py.tab")
+    cfg.output_file = str(tmp_path / f"{name}_py.sam")
+    cfg.silent = True
+    import io
+
+    out = io.StringIO()
+    from dart_tpu.aligner import DartAligner
+
+    aligner = DartAligner(toy_index, cfg)
+    assert aligner.native is None
+    aligner.run(out_stream=out)
+    assert out.getvalue() == (golden_dir / f"{name}.sam").read_text()
+    assert (tmp_path / f"{name}_py.tab").read_text() == \
+        (golden_dir / f"{name}.junctions.tab").read_text()
