@@ -218,16 +218,33 @@ class FMIndexJax:
                     sa_intv=self.sa_intv, seq_len=self.seq_len))
             host = np.asarray(self._seed_jit[key](
                 self.table, self.L2, self._lut, jnp.asarray(packed4),
-                jnp.asarray(rl)))[:nlive]       # (nlive, 1+3S), one d2h
+                jnp.asarray(rl)))[:nlive]       # packed rows, one d2h
             done = (host[:, 0] & 1) != 0
             fin = np.nonzero(done)[0]
             ids = lane_ids[fin]
             n_out[ids] = host[fin, 0] >> 1
-            meta = host[fin, 1:1 + S]
-            rpos_out[ids] = meta >> 16
-            len_out[ids] = meta & 0xFFFF
-            k0_out[ids] = host[fin, 1 + S:1 + 2 * S]
-            freq_out[ids] = host[fin, 1 + 2 * S:1 + 3 * S]
+            packed_halves = (Lp < 256 and self.max_dup_num <= 32766
+                             and S % 2 == 0)
+            if packed_halves:
+                H = S // 2
+                meta2 = host[fin, 1:1 + H]
+                meta = np.empty((fin.shape[0], S), np.int32)
+                meta[:, 0::2] = (meta2 >> 16) & 0xFFFF
+                meta[:, 1::2] = meta2 & 0xFFFF
+                rpos_out[ids] = meta >> 8
+                len_out[ids] = meta & 0xFF
+                k0_out[ids] = host[fin, 1 + H:1 + H + S]
+                fr2 = host[fin, 1 + H + S:1 + H + S + H]
+                fr = np.empty((fin.shape[0], S), np.int32)
+                fr[:, 0::2] = (fr2 >> 16) & 0xFFFF
+                fr[:, 1::2] = fr2 & 0xFFFF
+                freq_out[ids] = fr - 1
+            else:
+                meta = host[fin, 1:1 + S]
+                rpos_out[ids] = meta >> 16
+                len_out[ids] = meta & 0xFFFF
+                k0_out[ids] = host[fin, 1 + S:1 + 2 * S]
+                freq_out[ids] = host[fin, 1 + 2 * S:1 + 3 * S]
             live = np.nonzero(~done)[0]
             if live.size == 0:
                 break
@@ -454,8 +471,17 @@ def _seed_scan_packed(table, L2, lut, codes4, rlens, *, primary, max_dup,
                            lut=lut, lut_k=lut_k, ref_off=ref_off,
                            sad_off=sad_off, sa_intv=sa_intv, seq_len=seq_len)
     (done, nseeds, o_rpos, o_len, o_k0, o_freq) = st
-    cols = [(done.astype(jnp.int32) | (nseeds << 1))[:, None],
-            ((o_rpos << 16) | o_len).T, o_k0.T, o_freq.T]
+    head = (done.astype(jnp.int32) | (nseeds << 1))[:, None]
+    if read_len < 256 and max_dup <= 32766 and S % 2 == 0:
+        # half-word packing: (rpos, len) byte pairs and freq+1 uint16
+        # pairs — the transport charges per byte
+        meta = (o_rpos << 8) | o_len                      # (S, R), 16 bits
+        meta2 = (meta[0::2] << 16) | meta[1::2]           # (S/2, R)
+        fr = (o_freq + 1).astype(jnp.int32)               # -1 -> 0
+        fr2 = (fr[0::2] << 16) | fr[1::2]                 # (S/2, R)
+        cols = [head, meta2.T, o_k0.T, fr2.T]
+    else:
+        cols = [head, ((o_rpos << 16) | o_len).T, o_k0.T, o_freq.T]
     return jnp.concatenate(cols, axis=1)
 
 
