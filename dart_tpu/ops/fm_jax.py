@@ -414,13 +414,6 @@ def _backward_ext_state(L2, x0, x1, x2, tk, tl, primary):
     return starts, nx1, w
 
 
-def _char_onehot(codes_i, iota_l, p):
-    """codes_i[(lane, p[lane])] via a one-hot reduction (cross-lane
-    take_along_axis is pathologically slow on TPU)."""
-    oh = iota_l == p[:, None]
-    return jnp.sum(jnp.where(oh, codes_i, 0), axis=1)
-
-
 def _mem_walks_kernel(blocks, L2, chars, valid, *, primary):
     """Batched forward-MEM walks (BWT_Search semantics). chars (W, L)
     uint8; returns (lens, x0, x2) int32. Characters stream through the
