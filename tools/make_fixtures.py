@@ -163,8 +163,18 @@ def write_reads_fasta(path, reads):
 
 
 def write_reads_fastq(path, reads, gz=False):
-    op = gzip.open if gz else open
-    with op(path, "wt") as f:
+    if gz:
+        # mtime=0 keeps regeneration byte-identical
+        import io
+
+        raw = io.BytesIO()
+        with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as f:
+            for name, seq in reads:
+                f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n".encode())
+        with open(path, "wb") as out:
+            out.write(raw.getvalue())
+        return
+    with open(path, "w") as f:
         for name, seq in reads:
             f.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
 
