@@ -156,12 +156,13 @@ class FMIndexJax:
         Transport-shaped: the relay charges ~35 ms latency per transfer
         plus ~30-60 MB/s, and a loop iteration's marginal cost is tiny
         next to that — so each call moves ONE 4-bit-packed code buffer
-        up and ONE packed (R, 1+3S) result buffer down, with a generous
-        iteration cap. The rare straggler reads (repetitive-sequence
-        scans are O(len^2)) that exhaust the cap are simply re-run from
-        scratch in a smaller power-of-two bucket with a 4x larger cap —
-        recompute beats shipping resume state. All shapes come from a
-        small closed bucket set, so the compiled-program set stays small.
+        up and ONE packed result buffer down (half-word-packed columns
+        when lengths permit). The rare straggler reads (repetitive-
+        sequence scans are O(len^2)) that exhaust the iteration cap are
+        re-run from scratch in a fixed smaller bucket with a cap
+        covering the worst case — recompute beats shipping resume
+        state, and the closed shape set keeps the compiled-program set
+        small enough for warmup to cover entirely.
         """
         R, L = codes.shape
         if L >= 65536:
