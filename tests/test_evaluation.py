@@ -70,3 +70,20 @@ def test_sj_evaluation_against_planted_genes(tmp_path):
                       str(truth))
     assert r["reported_sj"] > 10
     assert r["precision_pct"] > 95.0
+
+
+def test_evaluation_cli(tmp_path, capsys):
+    from dart_tpu.cli import main
+
+    rc = main(["eva", os.path.join(GOLD, "c3_spliced.sam"),
+               os.path.join(DATA, "toy.fa")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sensitivity = " in out and "AvgSeqIdy" in out
+
+    sj = tmp_path / "truth.txt"
+    sj.write_text("chrA\t353\t5067\n")
+    rc = main(["sjeva", os.path.join(GOLD, "c3_spliced.junctions.tab"),
+               str(sj)])
+    assert rc == 0
+    assert "Reported SJ" in capsys.readouterr().out
