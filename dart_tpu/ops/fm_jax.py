@@ -195,6 +195,8 @@ class FMIndexJax:
             nlive = lane_ids.size
             if T == 128:
                 Rp = first_Rp
+            elif nlive <= 1024:
+                Rp = 1024
             else:
                 Rp = 4096 if nlive <= 4096 else first_Rp
             cp = np.full((Rp, Lp), 4, dtype=np.uint8)
