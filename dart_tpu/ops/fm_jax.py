@@ -99,8 +99,30 @@ def build_lut(blocks, L2, primary: int, K: int):
 
 
 class FMIndexJax:
+    """Single-chip engine; pass data_mesh (a Mesh with a "data" axis)
+    to run the same programs data-parallel over every chip in the mesh
+    with the index tables replicated (GSPMD partitions the automaton's
+    while_loop cleanly: all per-lane state is batch-sharded, the only
+    cross-lane ops are gathers from replicated tables)."""
+
     def __init__(self, idx: Index, device=None, max_dup_num: int = 100,
-                 lut_k: int = 0):
+                 lut_k: int = 0, data_mesh=None):
+        if data_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            device = NamedSharding(data_mesh, P())
+            rep = NamedSharding(data_mesh, P())
+            d2 = NamedSharding(data_mesh, P("data", None))
+            d1 = NamedSharding(data_mesh, P("data"))
+            self._seed_sh = dict(in_shardings=(rep, rep, rep, d2, d1),
+                                 out_shardings=d2)
+            self._loc_sh = dict(in_shardings=(rep, rep, rep, d1),
+                                out_shardings=d1)
+            self._min_bucket = max(1024, 128 * data_mesh.devices.size)
+        else:
+            self._seed_sh = {}
+            self._loc_sh = {}
+            self._min_bucket = 1024
         blocks = build_device_layout(idx)
         self.L2 = jax.device_put(idx.L2.astype(np.int32), device)
         if idx.sad_samples is not None:
@@ -183,7 +205,7 @@ class FMIndexJax:
         # straggler reruns at a fixed 4096 bucket (or full width) with
         # T=2048 — so warmup compiles every program this loop can need
         T = 128
-        first_Rp = self._pad_up(R, 1024)
+        first_Rp = self._pad_up(R, self._min_bucket)
         # rerun cap covers the worst case (a maximally repetitive read
         # rescans O(L^2/2) characters); loops exit early when all done
         T_rerun = max(2048, Lp * Lp // 2)
@@ -195,10 +217,11 @@ class FMIndexJax:
             nlive = lane_ids.size
             if T == 128:
                 Rp = first_Rp
-            elif nlive <= 1024:
-                Rp = 1024
+            elif nlive <= self._min_bucket:
+                Rp = self._min_bucket
             else:
-                Rp = 4096 if nlive <= 4096 else first_Rp
+                Rp = (max(4096, self._min_bucket)
+                      if nlive <= max(4096, self._min_bucket) else first_Rp)
             cp = np.full((Rp, Lp), 4, dtype=np.uint8)
             cp[:nlive, :L] = cur_codes
             rl = np.zeros(Rp, dtype=np.int32)
@@ -218,7 +241,8 @@ class FMIndexJax:
                     max_dup=self.max_dup_num, max_seeds=S, max_iters=T,
                     read_len=Lp, lut_k=self.lut_k,
                     ref_off=self.ref_off, sad_off=self.sad_off,
-                    sa_intv=self.sa_intv, seq_len=self.seq_len))
+                    sa_intv=self.sa_intv, seq_len=self.seq_len),
+                    **self._seed_sh)
             host = np.asarray(self._seed_jit[key](
                 self.table, self.L2, self._lut, jnp.asarray(packed4),
                 jnp.asarray(rl)))[:nlive]       # packed rows, one d2h
@@ -296,17 +320,17 @@ class FMIndexJax:
         # walk lengths are geometric(1/intv): cap at intv*(ln n + 4) so
         # the expected straggler count is ~0 and one round suffices;
         # derived from the PADDED size so shapes stay deterministic
-        T = int(self.sa_intv * (np.log(self._pad_up(n, 1024)) + 4.0)
+        T = int(self.sa_intv * (np.log(self._pad_up(n, self._min_bucket)) + 4.0)
                 / 32 + 1) * 32
         while lane_ids.size:
-            npad = self._pad_up(lane_ids.size, 1024)
+            npad = self._pad_up(lane_ids.size, self._min_bucket)
             kp = np.zeros(npad, dtype=np.int32)
             kp[: lane_ids.size] = cur_k
             key = (npad, T)
             if key not in self._locate_jit:
                 self._locate_jit[key] = jax.jit(functools.partial(
                     _locate_packed, primary=self.primary,
-                    sa_intv=self.sa_intv, max_iters=T))
+                    sa_intv=self.sa_intv, max_iters=T), **self._loc_sh)
             loc = np.asarray(self._locate_jit[key](
                 self.blocks, self.L2, self.sa_samples,
                 jnp.asarray(kp)))[: lane_ids.size]  # (npad,), one transfer

@@ -184,6 +184,16 @@ class ShardedFMIndex:
                 [blocks, np.zeros((nbps * n_index - n_blocks, 8), np.uint32)])
         self.nbps = nbps
         self.index_axis = "index" if n_index > 1 else None
+        # replicated index: the full single-chip automaton runs
+        # data-parallel via GSPMD (its while_loop partitions cleanly —
+        # per-lane state is batch-sharded, gathers hit replicated
+        # tables), so seeding and locates get the fast kernels
+        self._fast = None
+        if self.index_axis is None:
+            from ..ops.fm_jax import FMIndexJax
+
+            self._fast = FMIndexJax(idx, max_dup_num=max_dup_num,
+                                    data_mesh=mesh)
 
         spec_blocks = P("index", None) if n_index > 1 else P(None, None)
         self.blocks = jax.device_put(blocks, NamedSharding(mesh, spec_blocks))
@@ -227,6 +237,8 @@ class ShardedFMIndex:
                 np.asarray(x2[:W], dtype=np.int64))
 
     def locate(self, rows: np.ndarray) -> np.ndarray:
+        if self._fast is not None:
+            return self._fast.locate(rows)
         n = rows.shape[0]
         if n == 0:
             return np.empty(0, dtype=np.int64)
@@ -237,6 +249,8 @@ class ShardedFMIndex:
         return np.asarray(out[:n], dtype=np.int64)
 
     def seed_reads(self, codes: np.ndarray, rlens: np.ndarray):
+        if self._fast is not None:
+            return self._fast.seed_reads(codes, rlens)
         from ..pipeline.seeding import seed_reads_from_all_walks
 
         return seed_reads_from_all_walks(self, codes, rlens, self.max_dup_num)
