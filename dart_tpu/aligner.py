@@ -278,6 +278,15 @@ class DartAligner:
 
     def run(self, out_stream=None) -> None:
         cfg = self.cfg
+        if cfg.profile_dir:
+            import jax
+
+            with jax.profiler.trace(cfg.profile_dir):
+                return self._run(out_stream)
+        return self._run(out_stream)
+
+    def _run(self, out_stream=None) -> None:
+        cfg = self.cfg
         own = False
         writer = None
         resume = None

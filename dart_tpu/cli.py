@@ -110,6 +110,9 @@ def parse_args(argv: list[str]) -> DartConfig | None:
             cfg.checkpoint = True
         elif a == "--stats":
             cfg.stats = True
+        elif a == "--profile":
+            i += 1
+            cfg.profile_dir = argv[i]
         elif a == "--dist-coordinator":
             i += 1
             cfg.dist_coordinator = argv[i]

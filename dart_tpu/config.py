@@ -32,6 +32,7 @@ class DartConfig:
     native: bool = True       # C++ host pipeline (fallback: pure Python)
     checkpoint: bool = False  # per-chunk cursor persistence + resume
     stats: bool = False       # per-stage timing report on stderr
+    profile_dir: str = ""     # write a jax.profiler trace here
     # multi-host run (jax.distributed); nprocs > 1 activates
     dist_coordinator: str = "127.0.0.1:49178"
     dist_nprocs: int = 1

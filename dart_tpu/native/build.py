@@ -46,6 +46,9 @@ def build(force: bool = False) -> str:
                 "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
                 "-pthread", *srcs, "-o", lib + ".tmp",
             ]
+            if os.environ.get("DART_TPU_TSAN") == "1":
+                # thread-sanitized build for auditing the -t pool
+                cmd[1:1] = ["-fsanitize=thread", "-g", "-O1"]
             subprocess.run(cmd, check=True, capture_output=True)
             os.replace(lib + ".tmp", lib)
     return lib
