@@ -226,7 +226,16 @@ class FMIndexJax:
             cp[:nlive, :L] = cur_codes
             rl = np.zeros(Rp, dtype=np.int32)
             rl[:nlive] = cur_rlens
-            packed4 = (cp[:, 0::2] | (cp[:, 1::2] << 4))  # 2 codes/byte
+            # 2-bit pack (16 codes per uint32, top-first) + an
+            # N-exception bitmask: the transport charges per byte
+            c2 = np.minimum(cp, 3).astype(np.uint32)
+            packed2 = np.zeros((Rp, Lp // 16), dtype=np.uint32)
+            nmask = np.zeros((Rp, Lp // 32), dtype=np.uint32)
+            for k in range(16):
+                packed2 |= c2[:, k::16] << np.uint32(2 * (15 - k))
+            isn = (cp > 3)
+            for k in range(32):
+                nmask |= isn[:, k::32].astype(np.uint32) << np.uint32(31 - k)
             if self.lut_k and self._lut is None:
                 # the LUT stays a SEPARATE table: folding its 4^K rows
                 # into the block table makes every gather pay
@@ -244,8 +253,8 @@ class FMIndexJax:
                     sa_intv=self.sa_intv, seq_len=self.seq_len),
                     **self._seed_sh)
             host = np.asarray(self._seed_jit[key](
-                self.table, self.L2, self._lut, jnp.asarray(packed4),
-                jnp.asarray(rl)))[:nlive]       # packed rows, one d2h
+                self.table, self.L2, self._lut, jnp.asarray(packed2),
+                jnp.asarray(nmask), jnp.asarray(rl)))[:nlive]  # one d2h
             done = (host[:, 0] & 1) != 0
             fin = np.nonzero(done)[0]
             ids = lane_ids[fin]
@@ -474,18 +483,27 @@ def _mem_walks_kernel(blocks, L2, chars, valid, *, primary):
     return lens, x0, x2
 
 
-def _seed_scan_packed(table, L2, lut, codes4, rlens, *, primary, max_dup,
-                      max_seeds, max_iters, read_len, lut_k=0,
+def _seed_scan_packed(table, L2, lut, codes2, nmask, rlens, *, primary,
+                      max_dup, max_seeds, max_iters, read_len, lut_k=0,
                       ref_off=0, sad_off=0, sa_intv=0, seq_len=0):
-    """Transfer-minimal wrapper: codes arrive 4-bit packed (2/byte) and
-    the result leaves as one (R, 1+3S) int32 buffer —
-    [done|nseeds<<1, rpos<<16|len x S, k0_or_gpos x S, freq x S]
+    """Transfer-minimal wrapper: codes arrive 2-bit packed (16/word,
+    top-first) with an N-exception bitmask, and the result leaves as
+    one packed int32 buffer —
+    [done|nseeds<<1, (rpos, len) x S, k0_or_gpos x S, freq x S]
     (freq == -1 marks a direct seed whose k0 slot holds the genome
     position itself; see the fast-extension path)."""
     S = max_seeds
-    lo = (codes4 & 0x0F).astype(jnp.uint8)
-    hi = (codes4 >> 4).astype(jnp.uint8)
-    codes = jnp.stack([lo, hi], axis=2).reshape(codes4.shape[0], read_len)
+    R = codes2.shape[0]
+    parts = []
+    for k in range(16):
+        parts.append(((codes2 >> jnp.uint32(2 * (15 - k))) & 3)
+                     .astype(jnp.uint8))
+    codes = jnp.stack(parts, axis=2).reshape(R, read_len)
+    nparts = []
+    for k in range(32):
+        nparts.append(((nmask >> jnp.uint32(31 - k)) & 1).astype(jnp.uint8))
+    isn = jnp.stack(nparts, axis=2).reshape(R, read_len)
+    codes = jnp.where(isn != 0, jnp.uint8(4), codes)
     st = _seed_scan_kernel(table, L2, codes, rlens, None, primary=primary,
                            max_dup=max_dup, max_seeds=S, max_iters=max_iters,
                            lut=lut, lut_k=lut_k, ref_off=ref_off,
