@@ -114,7 +114,7 @@ class FMIndexJax:
             rep = NamedSharding(data_mesh, P())
             d2 = NamedSharding(data_mesh, P("data", None))
             d1 = NamedSharding(data_mesh, P("data"))
-            self._seed_sh = dict(in_shardings=(rep, rep, rep, d2, d1),
+            self._seed_sh = dict(in_shardings=(rep, rep, rep, d2, d2, d1),
                                  out_shardings=d2)
             self._loc_sh = dict(in_shardings=(rep, rep, rep, d1),
                                 out_shardings=d1)
