@@ -51,12 +51,29 @@ def _enable_compile_cache():
 
 
 def make_engine(idx: Index, cfg: DartConfig):
-    if cfg.engine == "jax":
+    engine = cfg.engine
+    if engine == "auto":
+        # TPU-native by default: the jax engine serves both the real
+        # accelerator and the CPU backend; numpy is the no-jax fallback
+        try:
+            import jax  # noqa: F401
+
+            engine = "jax"
+        except Exception:
+            engine = "numpy"
+    if engine == "jax":
         _enable_compile_cache()
         import os
 
         import jax
 
+        if idx.seq_len >= 2**31:
+            # GRCh38-class genomes: fwd+RC text exceeds int32 — the
+            # wide engine runs the same automaton on (lo, hi) uint32
+            # pair state (reference: int64 bwt_t, structure.h:29-45)
+            from .ops.fm_jax_wide import FMIndexJaxWide
+
+            return FMIndexJaxWide(idx, max_dup_num=cfg.max_dup_num)
         from .ops.fm_jax import FMIndexJax
 
         lut_k = int(os.environ.get("DART_TPU_LUT", "-1"))
@@ -184,39 +201,49 @@ class DartAligner:
         with the native host stages (finalize + output for chunk k) and
         input parsing — the aligner analogue of the reference's
         producer/consumer thread pool (Mapping.cpp:579-681), with the
-        device as the producer. Output order stays deterministic."""
-        from concurrent.futures import ThreadPoolExecutor
+        device as the producer. submit_chunk dispatches chunk k+1's
+        first automaton round asynchronously BEFORE chunk k's results
+        are drained, so the relay executes it while the host finalizes
+        and writes chunk k. Output order stays deterministic."""
+        from .pipeline.seeding import finish_chunk, submit_chunk
 
-        from .pipeline.seeding import seed_occurrence_tables
-
-        def device_stage(reads):
-            t0 = time.time()
-            out = seed_occurrence_tables(self.engine, reads)
-            self.stats["device_seed_locate_s"] += time.time() - t0
-            return out
-
-        with ThreadPoolExecutor(1) as ex:
-            pending = None
+        def parse_next():
             t0 = time.time()
             reads = reader.next_chunk()
             self.stats["input_parse_s"] += time.time() - t0
-            while reads:
-                fut = ex.submit(device_stage, reads)
-                if pending is not None:
-                    self._finish_chunk(pending, pair_end, reader.fastq, emit)
-                t0 = time.time()
-                next_reads = reader.next_chunk()
-                self.stats["input_parse_s"] += time.time() - t0
-                pending = (reads, fut)
-                reads = next_reads
-            if pending is not None:
-                self._finish_chunk(pending, pair_end, reader.fastq, emit)
+            return reads
 
-    def _finish_chunk(self, pending, pair_end: bool, fastq: bool, emit) -> None:
-        reads, fut = pending
+        def submit(reads):
+            t0 = time.time()
+            job = submit_chunk(self.engine, reads)
+            self.stats["device_seed_locate_s"] += time.time() - t0
+            return job
+
+        reads = parse_next()
+        job = submit(reads) if reads else None
+        while reads:
+            nxt = {}
+
+            def prefetch():
+                r = parse_next()
+                nxt["reads"] = r
+                nxt["job"] = submit(r) if r else None
+
+            self._finish_chunk(reads, job, pair_end, reader.fastq, emit,
+                               prefetch)
+            if "reads" not in nxt:  # eager jobs never call the hook
+                prefetch()
+            reads, job = nxt["reads"], nxt["job"]
+
+    def _finish_chunk(self, reads, job, pair_end: bool, fastq: bool,
+                      emit, on_wait=None) -> None:
+        from .pipeline.seeding import finish_chunk
+
         t0 = time.time()
-        occ_off, occ_rpos, occ_len, occ_gpos = fut.result()
+        occ_off, occ_rpos, occ_len, occ_gpos = finish_chunk(
+            self.engine, job, on_wait=on_wait)
         self.stats["device_wait_s"] += time.time() - t0
+        self.stats["device_seed_locate_s"] += time.time() - t0
         t0 = time.time()
         sam = self.native.process_chunk(
             reads, pair_end and len(reads) % 2 == 0, fastq,
@@ -251,12 +278,27 @@ class DartAligner:
                     merged[key] = [int(t), int(c)]
         return merged
 
-    def _ckpt_save(self, file_idx: int, chunks: int, sam_bytes: int) -> None:
+    def _reader_kind(self, path1: str, path2) -> str:
+        """Which reader class _run would pick for this input — recorded
+        in checkpoints because FastChunkReader and ChunkReader cut
+        chunk boundaries differently; resuming with a different reader
+        would silently duplicate or drop reads."""
+        small = os.path.getsize(path1) < (8 << 30)
+        if self.native is not None and path2 is None and small:
+            return "FastChunkReader"
+        if (self.native is not None and path2 is not None and small
+                and os.path.getsize(path2) < (8 << 30)):
+            return "FastPairedReader"
+        return "ChunkReader"
+
+    def _ckpt_save(self, file_idx: int, chunks: int, sam_bytes: int,
+                   reader_kind: str) -> None:
         import json
 
         state = {"file_idx": file_idx, "chunks": chunks,
                  "sam_bytes": sam_bytes, "counters": self.counters,
                  "batch_reads": self.cfg.batch_reads,
+                 "reader": reader_kind,
                  "sj": [[g1, g2, v[0], v[1]] for (g1, g2), v in
                         sorted(self._merged_sj().items())]}
         tmp = self._ckpt_path() + ".tmp"
@@ -274,6 +316,16 @@ class DartAligner:
             state = json.load(f)
         if state.get("batch_reads") != self.cfg.batch_reads:
             return None  # chunk boundaries would not line up
+        if not os.path.exists(self.cfg.output_file):
+            return None  # partial output vanished: restart cleanly
+        fi = state.get("file_idx", 0)
+        files2 = (self.cfg.read_files_2 if self.cfg.read_files_2
+                  else [None] * len(self.cfg.read_files_1))
+        if fi >= len(self.cfg.read_files_1):
+            return None
+        kind = self._reader_kind(self.cfg.read_files_1[fi], files2[fi])
+        if state.get("reader") != kind:
+            return None  # different reader = different chunk boundaries
         return state
 
     def run(self, out_stream=None) -> None:
@@ -369,7 +421,8 @@ class DartAligner:
                 if cfg.checkpoint and writer is None:
                     out_stream.flush()
                     self._ckpt_save(_fi, nonlocal_state["chunks"],
-                                    out_stream.tell())
+                                    out_stream.tell(),
+                                    type(reader).__name__)
 
             nonlocal_state = {"chunks": chunks_done}
             if self.native is not None:

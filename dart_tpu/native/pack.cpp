@@ -1,0 +1,97 @@
+// Chunk packing for the device seeding automaton: ASCII read blobs ->
+// 2-bit packed code words (16 bases/word, first base in the top bits)
+// plus a 1-bit-per-base ambiguity mask, the exact transfer layout
+// ops/fm_jax._seed_scan_packed consumes. This replaces a chain of
+// NumPy strided loops on the hot path (the relay host has one core;
+// every ms of host work is wall time).
+//
+// Layout contract (must match ops/fm_jax.py seed_reads):
+// - packed2[r][w] bits [31-2j, 30-2j] hold min(code, 3) of base 16w+j.
+// - positions past the read's length pack as code 3 with NO mask bit:
+//   every kernel read past rlen is guarded (`cur < rlens`), and the
+//   seed scan never initializes within 13 bases of the end.
+// - nmask[r][w] bit (31-j) set iff base 32w+j is ambiguous (code > 3),
+//   only within the read. Return value says whether any bit was set,
+//   so fully-ACGT chunks can skip the nmask transfer entirely.
+//
+// Nucleotide codes mirror /root/reference/src/BWT_Index/bntseq.c:40-57
+// (A=0 C=1 G=2 T=3, case-insensitive, everything else ambiguous).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct Nt4 {
+  uint8_t t[256];
+  Nt4() {
+    std::memset(t, 4, sizeof(t));
+    const char* b = "ACGT";
+    for (int i = 0; i < 4; ++i) {
+      t[(unsigned char)b[i]] = (uint8_t)i;
+      t[(unsigned char)(b[i] + 32)] = (uint8_t)i;
+    }
+  }
+};
+const Nt4 NT4;
+
+}  // namespace
+
+extern "C" {
+
+// seq_blob/seq_off: concatenated reads, offsets (n_reads+1).
+// packed2: (rows_padded, words) uint32, zero-initialized by the caller
+//   (pad rows beyond n_reads stay zero; their rlen of 0 marks them done
+//   before the first automaton iteration).
+// nmask: (rows_padded, words/2) uint32, zero-initialized.
+// rlens: (rows_padded) int32, zero-initialized.
+// words: padded read length / 16 (padded length is a multiple of 32).
+// Returns 1 if any ambiguous base was masked, else 0.
+int32_t dart_pack_reads(const uint8_t* seq_blob, const int64_t* seq_off,
+                        int32_t n_reads, int32_t words,
+                        uint32_t* packed2, uint32_t* nmask,
+                        int32_t* rlens) {
+  const int32_t lp = words * 16;
+  int32_t any_n = 0;
+  for (int32_t r = 0; r < n_reads; ++r) {
+    const uint8_t* s = seq_blob + seq_off[r];
+    const int32_t len = (int32_t)(seq_off[r + 1] - seq_off[r]);
+    rlens[r] = len;
+    uint32_t* row = packed2 + (size_t)r * (size_t)words;
+    uint32_t* nrow = nmask + (size_t)r * (size_t)(words / 2);
+    int32_t j = 0;
+    for (int32_t w = 0; w < words; ++w) {
+      uint32_t acc = 0;
+      if (j + 16 <= len) {  // full word inside the read (hot path)
+        for (int k = 0; k < 16; ++k) {
+          const uint8_t c = NT4.t[s[j + k]];
+          acc |= (uint32_t)(c < 4 ? c : 3) << (2 * (15 - k));
+          if (c > 3) {
+            nrow[(j + k) >> 5] |= 0x80000000u >> ((j + k) & 31);
+            any_n = 1;
+          }
+        }
+      } else {
+        for (int k = 0; k < 16; ++k) {
+          const int32_t p = j + k;
+          if (p < len) {
+            const uint8_t c = NT4.t[s[p]];
+            acc |= (uint32_t)(c < 4 ? c : 3) << (2 * (15 - k));
+            if (c > 3) {
+              nrow[p >> 5] |= 0x80000000u >> (p & 31);
+              any_n = 1;
+            }
+          } else {
+            acc |= 3u << (2 * (15 - k));  // pad packs as code 3
+          }
+        }
+      }
+      row[w] = acc;
+      j += 16;
+    }
+    (void)lp;
+  }
+  return any_n;
+}
+
+}  // extern "C"

@@ -190,106 +190,164 @@ class FMIndexJax:
         if L >= 65536:
             raise ValueError("reads must be shorter than 65536 bases")
         Lp = max(32, -(-L // 32) * 32)
-        # every accepted seed advances the scan by >= MIN_SEED_LEN(16)
-        S = Lp // 16
+        Rp = self._pad_up(R, self._min_bucket)
+        rl = np.zeros(Rp, dtype=np.int32)
+        rl[:R] = np.asarray(rlens, dtype=np.int32)
+        # 2-bit pack (16 codes per uint32, top-first) + an N-exception
+        # bitmask covering ambiguous bases within each read (positions
+        # past rlen pack as code 3 with no mask bit — every kernel read
+        # there is rlen-guarded); same contract as native dart_pack_reads
+        cp = np.full((Rp, Lp), 4, dtype=np.uint8)
+        cp[:R, :L] = codes
+        in_read = np.arange(Lp, dtype=np.int32)[None, :] < rl[:, None]
+        c2 = np.where(in_read, np.minimum(cp, 3), 3).astype(np.uint32)
+        packed2 = np.zeros((Rp, Lp // 16), dtype=np.uint32)
+        nmask = np.zeros((Rp, Lp // 32), dtype=np.uint32)
+        for k in range(16):
+            packed2 |= c2[:, k::16] << np.uint32(2 * (15 - k))
+        isn = (cp > 3) & in_read
+        has_n = bool(isn.any())
+        if has_n:
+            for k in range(32):
+                nmask |= isn[:, k::32].astype(np.uint32) << np.uint32(31 - k)
+        return self.seed_finish(self.seed_submit(
+            packed2, nmask if has_n else None, rl, R, Lp,
+            int(rl[:R].max()) if R else 1))
+
+    @staticmethod
+    def seed_slots(Lp: int, max_rlen: int) -> int:
+        """Seed-slot count: every accepted seed advances the scan by
+        >= MIN_SEED_LEN(16) from a position < rlen - 13, so a read of
+        max_rlen yields at most (max_rlen - 14)//16 + 1 seeds. Rounded
+        up to even (the half-word result packing pairs slots) — a much
+        tighter result-transfer width than the Lp//16 worst case."""
+        s = max(1, (max_rlen - 14) // 16 + 1)
+        return min(Lp // 16, s + (s & 1))
+
+    def seed_submit(self, packed2, nmask, rl, nlive: int, Lp: int,
+                    max_rlen: int):
+        """Dispatch the first (full-width) seed-scan round without
+        syncing, so the caller can overlap the device pass with host
+        work on other chunks. packed2 (Rp, Lp/16) / rl (Rp,) are padded
+        to a power-of-two row bucket; nmask is None for all-ACGT chunks
+        (a distinct compiled program that skips the mask transfer and
+        decode entirely)."""
+        S = self.seed_slots(Lp, max_rlen)
+        dev = self.submit_seed_round(packed2, nmask, rl, packed2.shape[0],
+                                     Lp, 128, S)
+        return {"dev": dev, "packed2": packed2, "nmask": nmask, "rl": rl,
+                "nlive": nlive, "Lp": Lp, "S": S}
+
+    def seed_finish(self, job, on_wait=None):
+        """Sync the submitted round, then rerun straggler lanes
+        (repetitive-sequence scans are O(len^2)) from scratch in fixed
+        smaller buckets with a worst-case iteration cap — recompute
+        beats shipping resume state, and the closed shape set keeps the
+        compiled-program set small enough for warmup to cover. Returns
+        (n_seeds (R,), rpos/length/k0/freq (R, S)).
+
+        on_wait, if given, is invoked exactly once at the point where
+        this call is about to block on the device — after the last
+        round this thread can dispatch without new results — so the
+        caller can enqueue the NEXT chunk's first round behind it."""
+        packed2, nmask, rl = job["packed2"], job["nmask"], job["rl"]
+        R, Lp, S = job["nlive"], job["Lp"], job["S"]
+        packed_halves = (Lp < 256 and self.max_dup_num <= 32766
+                         and S % 2 == 0)
         n_out = np.zeros(R, dtype=np.int32)
         rpos_out = np.zeros((R, S), dtype=np.int32)
         len_out = np.zeros((R, S), dtype=np.int32)
         k0_out = np.zeros((R, S), dtype=np.int32)
         freq_out = np.zeros((R, S), dtype=np.int32)
-
         lane_ids = np.arange(R, dtype=np.int64)
-        cur_codes = codes
-        cur_rlens = np.asarray(rlens, dtype=np.int32)
-        # deterministic shape set: full-width first round at T=128,
-        # straggler reruns at a fixed 4096 bucket (or full width) with
-        # T=2048 — so warmup compiles every program this loop can need
-        T = 128
-        first_Rp = self._pad_up(R, self._min_bucket)
+        first_Rp = packed2.shape[0]
         # rerun cap covers the worst case (a maximally repetitive read
         # rescans O(L^2/2) characters); loops exit early when all done
         T_rerun = max(2048, Lp * Lp // 2)
+        dev = job["dev"]
         rounds = 0
         while lane_ids.size:
             rounds += 1
             if rounds > 4:
                 raise RuntimeError("seed scan failed to converge")
             nlive = lane_ids.size
-            if T == 128:
-                Rp = first_Rp
-            elif nlive <= self._min_bucket:
-                Rp = self._min_bucket
-            else:
-                Rp = (max(4096, self._min_bucket)
-                      if nlive <= max(4096, self._min_bucket) else first_Rp)
-            cp = np.full((Rp, Lp), 4, dtype=np.uint8)
-            cp[:nlive, :L] = cur_codes
-            rl = np.zeros(Rp, dtype=np.int32)
-            rl[:nlive] = cur_rlens
-            # 2-bit pack (16 codes per uint32, top-first) + an
-            # N-exception bitmask: the transport charges per byte
-            c2 = np.minimum(cp, 3).astype(np.uint32)
-            packed2 = np.zeros((Rp, Lp // 16), dtype=np.uint32)
-            nmask = np.zeros((Rp, Lp // 32), dtype=np.uint32)
-            for k in range(16):
-                packed2 |= c2[:, k::16] << np.uint32(2 * (15 - k))
-            isn = (cp > 3)
-            for k in range(32):
-                nmask |= isn[:, k::32].astype(np.uint32) << np.uint32(31 - k)
-            if self.lut_k and self._lut is None:
-                # the LUT stays a SEPARATE table: folding its 4^K rows
-                # into the block table makes every gather pay
-                # large-table rates; instead init states are
-                # pre-gathered once per chunk inside the kernel
-                self._lut = build_lut(self.table, self.L2, self.primary,
-                                      self.lut_k)
-            key = (Rp, Lp, T)
-            if key not in self._seed_jit:
-                self._seed_jit[key] = jax.jit(functools.partial(
-                    _seed_scan_packed, primary=self.primary,
-                    max_dup=self.max_dup_num, max_seeds=S, max_iters=T,
-                    read_len=Lp, lut_k=self.lut_k,
-                    ref_off=self.ref_off, sad_off=self.sad_off,
-                    sa_intv=self.sa_intv, seq_len=self.seq_len),
-                    **self._seed_sh)
-            host = np.asarray(self._seed_jit[key](
-                self.table, self.L2, self._lut, jnp.asarray(packed2),
-                jnp.asarray(nmask), jnp.asarray(rl)))[:nlive]  # one d2h
+            host = np.asarray(dev)[:nlive]  # one d2h
             done = (host[:, 0] & 1) != 0
             fin = np.nonzero(done)[0]
             ids = lane_ids[fin]
             n_out[ids] = host[fin, 0] >> 1
-            packed_halves = (Lp < 256 and self.max_dup_num <= 32766
-                             and S % 2 == 0)
-            if packed_halves:
-                H = S // 2
-                meta2 = host[fin, 1:1 + H]
-                meta = np.empty((fin.shape[0], S), np.int32)
-                meta[:, 0::2] = (meta2 >> 16) & 0xFFFF
-                meta[:, 1::2] = meta2 & 0xFFFF
-                rpos_out[ids] = meta >> 8
-                len_out[ids] = meta & 0xFF
-                k0_out[ids] = host[fin, 1 + H:1 + H + S]
-                fr2 = host[fin, 1 + H + S:1 + H + S + H]
-                fr = np.empty((fin.shape[0], S), np.int32)
-                fr[:, 0::2] = (fr2 >> 16) & 0xFFFF
-                fr[:, 1::2] = fr2 & 0xFFFF
-                freq_out[ids] = fr - 1
-            else:
-                meta = host[fin, 1:1 + S]
-                rpos_out[ids] = meta >> 16
-                len_out[ids] = meta & 0xFFFF
-                k0_out[ids] = host[fin, 1 + S:1 + 2 * S]
-                freq_out[ids] = host[fin, 1 + 2 * S:1 + 3 * S]
+            rp, ln, kk, fr = _unpack_seed_host(host, fin, S, packed_halves)
+            rpos_out[ids] = rp
+            len_out[ids] = ln
+            k0_out[ids] = kk
+            freq_out[ids] = fr
             live = np.nonzero(~done)[0]
             if live.size == 0:
                 break
             lane_ids = lane_ids[live]
-            cur_codes = cur_codes[live]
-            cur_rlens = cur_rlens[live]
-            T = T_rerun  # straggler rounds: rerun from scratch
+            # straggler round: gather live rows, pad to a fixed bucket
+            if lane_ids.size <= self._min_bucket:
+                Rp = self._min_bucket
+            else:
+                Rp = (max(4096, self._min_bucket)
+                      if lane_ids.size <= max(4096, self._min_bucket)
+                      else first_Rp)
+            p2 = np.zeros((Rp, packed2.shape[1]), dtype=np.uint32)
+            p2[:lane_ids.size] = packed2[lane_ids]
+            nm = None
+            if nmask is not None:
+                nm = np.zeros((Rp, nmask.shape[1]), dtype=np.uint32)
+                nm[:lane_ids.size] = nmask[lane_ids]
+            rl2 = np.zeros(Rp, dtype=np.int32)
+            rl2[:lane_ids.size] = rl[lane_ids]
+            dev = self.submit_seed_round(p2, nm, rl2, Rp, Lp, T_rerun, S)
+            if on_wait is not None:
+                # straggler round is in flight: let the caller enqueue
+                # the next chunk's first round behind it now
+                on_wait()
+                on_wait = None
+        if on_wait is not None:
+            on_wait()
         return (n_out, rpos_out, len_out,
                 k0_out.astype(np.int64), freq_out)
+
+    def submit_seed_round(self, packed2, nmask, rl, Rp, Lp, T, S=None):
+        """Dispatch one seed-scan program without syncing (async relay
+        round). nmask None selects the all-ACGT program variant: no
+        mask transfer, no mask decode (a (1, 1) placeholder rides along
+        to keep the jit signature uniform). S is the seed-slot count
+        (default: the Lp-derived worst case; callers pass the tighter
+        max-rlen bound to shrink the result transfer). Returns the
+        device array."""
+        if S is None:
+            S = Lp // 16
+        if self.lut_k and self._lut is None:
+            # the LUT stays a SEPARATE table: folding its 4^K rows into
+            # the block table makes every gather pay large-table rates;
+            # instead init states are pre-gathered once per chunk
+            # inside the kernel
+            self._lut = build_lut(self.table, self.L2, self.primary,
+                                  self.lut_k)
+        if nmask is None and self._seed_sh:
+            # mesh mode shards the mask batch-wise; a (1, 1) placeholder
+            # can't carry that sharding — ship explicit zeros instead
+            nmask = np.zeros((Rp, Lp // 32), dtype=np.uint32)
+        use_nmask = nmask is not None
+        key = (Rp, Lp, T, use_nmask, S)
+        if key not in self._seed_jit:
+            self._seed_jit[key] = jax.jit(functools.partial(
+                _seed_scan_packed, primary=self.primary,
+                max_dup=self.max_dup_num, max_seeds=S, max_iters=T,
+                read_len=Lp, lut_k=self.lut_k,
+                ref_off=self.ref_off, sad_off=self.sad_off,
+                sa_intv=self.sa_intv, seq_len=self.seq_len,
+                use_nmask=use_nmask),
+                **self._seed_sh)
+        if not use_nmask:
+            nmask = np.zeros((1, 1), dtype=np.uint32)
+        return self._seed_jit[key](
+            self.table, self.L2, self._lut, jnp.asarray(packed2),
+            jnp.asarray(nmask), jnp.asarray(rl))
 
     @staticmethod
     def _pad_up(n: int, floor: int = 4096) -> int:
@@ -353,6 +411,31 @@ class FMIndexJax:
             cur_k = cur_k[live]
             T = 512 * self.sa_intv  # deterministic straggler-round shape
         return out
+
+
+def _unpack_seed_host(host, fin, S, packed_halves):
+    """Decode the packed seed-result buffer rows `fin` into
+    (rpos, len, k0, freq) int32 matrices (see _seed_scan_packed for the
+    layout). All field extractions mask after shifting: host is int32,
+    so a bare `>> 16` would sign-extend for rpos >= 32768 (reads are
+    accepted up to 65535 bases)."""
+    if packed_halves:
+        H = S // 2
+        meta2 = host[fin, 1:1 + H]
+        meta = np.empty((fin.shape[0], S), np.int32)
+        meta[:, 0::2] = (meta2 >> 16) & 0xFFFF
+        meta[:, 1::2] = meta2 & 0xFFFF
+        rp = meta >> 8
+        ln = meta & 0xFF
+        kk = host[fin, 1 + H:1 + H + S]
+        fr2 = host[fin, 1 + H + S:1 + H + S + H]
+        fr = np.empty((fin.shape[0], S), np.int32)
+        fr[:, 0::2] = (fr2 >> 16) & 0xFFFF
+        fr[:, 1::2] = fr2 & 0xFFFF
+        return rp, ln, kk, fr - 1
+    meta = host[fin, 1:1 + S]
+    return ((meta >> 16) & 0xFFFF, meta & 0xFFFF,
+            host[fin, 1 + S:1 + 2 * S], host[fin, 1 + 2 * S:1 + 3 * S])
 
 
 # ---------------- kernels (pure jax; jitted above) ----------------
@@ -485,10 +568,13 @@ def _mem_walks_kernel(blocks, L2, chars, valid, *, primary):
 
 def _seed_scan_packed(table, L2, lut, codes2, nmask, rlens, *, primary,
                       max_dup, max_seeds, max_iters, read_len, lut_k=0,
-                      ref_off=0, sad_off=0, sa_intv=0, seq_len=0):
+                      ref_off=0, sad_off=0, sa_intv=0, seq_len=0,
+                      use_nmask=True):
     """Transfer-minimal wrapper: codes arrive 2-bit packed (16/word,
-    top-first) with an N-exception bitmask, and the result leaves as
-    one packed int32 buffer —
+    top-first) with an N-exception bitmask (omitted for all-ACGT
+    chunks: every read past rlen is guarded in the kernel, so the mask
+    only matters for genuinely ambiguous bases), and the result leaves
+    as one packed int32 buffer —
     [done|nseeds<<1, (rpos, len) x S, k0_or_gpos x S, freq x S]
     (freq == -1 marks a direct seed whose k0 slot holds the genome
     position itself; see the fast-extension path)."""
@@ -499,11 +585,13 @@ def _seed_scan_packed(table, L2, lut, codes2, nmask, rlens, *, primary,
         parts.append(((codes2 >> jnp.uint32(2 * (15 - k))) & 3)
                      .astype(jnp.uint8))
     codes = jnp.stack(parts, axis=2).reshape(R, read_len)
-    nparts = []
-    for k in range(32):
-        nparts.append(((nmask >> jnp.uint32(31 - k)) & 1).astype(jnp.uint8))
-    isn = jnp.stack(nparts, axis=2).reshape(R, read_len)
-    codes = jnp.where(isn != 0, jnp.uint8(4), codes)
+    if use_nmask:
+        nparts = []
+        for k in range(32):
+            nparts.append(((nmask >> jnp.uint32(31 - k)) & 1)
+                          .astype(jnp.uint8))
+        isn = jnp.stack(nparts, axis=2).reshape(R, read_len)
+        codes = jnp.where(isn != 0, jnp.uint8(4), codes)
     st = _seed_scan_kernel(table, L2, codes, rlens, None, primary=primary,
                            max_dup=max_dup, max_seeds=S, max_iters=max_iters,
                            lut=lut, lut_k=lut_k, ref_off=ref_off,

@@ -61,6 +61,45 @@ def available() -> bool:
     return _bind() is not False
 
 
+_PACK_FN = None
+
+
+def pack_reads(seq_blob, seq_off, n_reads: int, rows_padded: int,
+               words: int):
+    """Native chunk pack: ASCII blob -> (packed2, nmask, rlens, has_n)
+    in the device transfer layout (see native/pack.cpp for the
+    contract). Returns None when the native library is unavailable."""
+    global _PACK_FN
+    if _PACK_FN is None:
+        lib = native_build.load()
+        if lib is None or not hasattr(lib, "dart_pack_reads"):
+            _PACK_FN = False
+        else:
+            lib.dart_pack_reads.restype = ctypes.c_int32
+            lib.dart_pack_reads.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int32)]
+            _PACK_FN = lib.dart_pack_reads
+    if _PACK_FN is False:
+        return None
+    blob = np.frombuffer(seq_blob, dtype=np.uint8)
+    off = _i64(seq_off)
+    packed2 = np.zeros((rows_padded, words), dtype=np.uint32)
+    nmask = np.zeros((rows_padded, words // 2), dtype=np.uint32)
+    rlens = np.zeros(rows_padded, dtype=np.int32)
+    has_n = _PACK_FN(
+        _ptr(blob, ctypes.c_uint8), _ptr(off, ctypes.c_int64),
+        int(n_reads), int(words),
+        packed2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        nmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _ptr(rlens, ctypes.c_int32))
+    return packed2, nmask, rlens, bool(has_n)
+
+
 def _i64(a):
     return np.ascontiguousarray(a, dtype=np.int64)
 
@@ -82,15 +121,28 @@ class NativePipeline:
             raise RuntimeError("native pipeline unavailable")
         self._c = c
         self.idx = idx
-        # keep marshaled arrays alive for the context's lifetime
-        self._ref = np.ascontiguousarray(idx.ref_ascii, dtype=np.uint8)
+        # keep marshaled arrays alive for the context's lifetime.
+        # The genome buffer carries a 256-byte 'N' guard region at each
+        # end: best_gapped_partition's continuation probes and
+        # identify_sj's +/-9 bp motif reads may index a few bytes past
+        # an alignment at the fwd/RC text boundary (the reference
+        # allocates TwoGenomeSize+1 and relies on slack; guards make
+        # the reads defined and never match A/C/G/T)
+        GUARD = 256
+        padded = np.full(idx.ref_ascii.shape[0] + 2 * GUARD, ord("N"),
+                         dtype=np.uint8)
+        padded[GUARD:GUARD + idx.ref_ascii.shape[0]] = idx.ref_ascii
+        self._ref = padded
+        self._ref_base = ctypes.cast(
+            ctypes.c_void_p(padded.ctypes.data + GUARD),
+            ctypes.POINTER(ctypes.c_uint8))
         self._keys = _i64(idx.chr_end_keys)
         self._kidx = _i32(idx.chr_end_idx)
         self._fwd = _i64([ch.forward_location for ch in idx.chromosomes])
         names = "".join(ch.name + "\n" for ch in idx.chromosomes).encode()
         self._names = names
         self.ctx = c.dart_pipe_create(
-            _ptr(self._ref, ctypes.c_uint8),
+            self._ref_base,
             int(idx.seq_len), int(idx.genome_size),
             _ptr(self._keys, ctypes.c_int64), _ptr(self._kidx, ctypes.c_int32),
             len(self._keys), names, _ptr(self._fwd, ctypes.c_int64),

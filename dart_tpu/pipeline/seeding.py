@@ -77,6 +77,46 @@ def seed_reads_from_all_walks(engine, codes: np.ndarray, rlens: np.ndarray,
     return n_out, rpos_out, len_out, k0_out, freq_out
 
 
+def submit_chunk(engine, reads):
+    """Phase 1 of whole-chunk seeding: pack the chunk into the device
+    transfer layout and dispatch the first automaton round WITHOUT
+    syncing, so the caller can overlap this chunk's device pass with
+    host work on the previous chunk (the aligner analogue of the
+    reference's producer/consumer pool, with the relay's dispatch
+    queue as the buffer). Returns an opaque job for finish_chunk."""
+    if hasattr(engine, "seed_submit") and hasattr(reads, "seq_blob"):
+        lens = np.diff(reads.seq_off)
+        L = int(lens.max()) if len(reads) else 1
+        if L < 65536:
+            from .native_chunk import pack_reads
+
+            Lp = max(32, -(-L // 32) * 32)
+            Rp = engine._pad_up(len(reads), engine._min_bucket)
+            packed = pack_reads(reads.seq_blob, reads.seq_off,
+                                len(reads), Rp, Lp // 16)
+            if packed is not None:
+                packed2, nmask, rlens, has_n = packed
+                job = engine.seed_submit(
+                    packed2, nmask if has_n else None, rlens,
+                    len(reads), Lp, L)
+                return ("seed_job", job, len(reads))
+    # generic path (NumPy engine, ReadItem chunks, very long reads, or
+    # no native library): compute everything eagerly
+    return ("eager", _seed_occurrence_tables_eager(engine, reads), None)
+
+
+def finish_chunk(engine, job, on_wait=None):
+    """Phase 2: sync the device rounds and expand the per-seed tables
+    into flat per-occurrence tables (see seed_occurrence_tables).
+    on_wait (optional) fires once when the device is about to be
+    waited on — the hook where the caller submits the next chunk."""
+    kind, payload, n_reads = job
+    if kind == "eager":
+        return payload
+    n, rpos, slen, k0, freq = engine.seed_finish(payload, on_wait=on_wait)
+    return _expand_occurrences(engine, n, rpos, slen, k0, freq, n_reads)
+
+
 def seed_occurrence_tables(engine, reads):
     """Whole-chunk seeding: two batched device passes producing flat
     per-occurrence tables for the native pipeline. Returns
@@ -84,11 +124,19 @@ def seed_occurrence_tables(engine, reads):
     [occ_off[r], occ_off[r+1]) belong to read r (unsorted; the consumer
     sorts by (gPos, rPos) as the reference does after IdentifySeedPairs).
     """
+    return finish_chunk(engine, submit_chunk(engine, reads))
+
+
+def _seed_occurrence_tables_eager(engine, reads):
     if hasattr(reads, "codes_matrix"):
         codes, rlens = reads.codes_matrix()
     else:
         codes, rlens = build_codes_matrix(reads)
     n, rpos, slen, k0, freq = engine.seed_reads(codes, rlens)
+    return _expand_occurrences(engine, n, rpos, slen, k0, freq, len(reads))
+
+
+def _expand_occurrences(engine, n, rpos, slen, k0, freq, n_reads):
     S = rpos.shape[1]
     valid = np.arange(S)[None, :] < n[:, None]
     # freq == -1 marks a "direct" seed (fast-extension path): unique
@@ -97,7 +145,7 @@ def seed_occurrence_tables(engine, reads):
     freq_v = np.where(valid, np.where(freq < 0, 1, freq), 0).astype(np.int64)
     occ_per_seed = freq_v.ravel()
     total = int(occ_per_seed.sum())
-    occ_off = np.zeros(len(reads) + 1, dtype=np.int64)
+    occ_off = np.zeros(n_reads + 1, dtype=np.int64)
     np.cumsum(freq_v.sum(axis=1), out=occ_off[1:])
     if total == 0:
         z = np.empty(0, dtype=np.int64)

@@ -100,3 +100,45 @@ def test_seed_scan_lut_equivalence(toy_index):
     b = eng4.seed_reads(codes, rlens)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_unpack_seed_host_wide_rpos():
+    """Non-half-word unpack must not sign-extend rpos >= 32768 or
+    len/freq fields (reads up to 65535 bases take this path)."""
+    import numpy as np
+
+    from dart_tpu.ops.fm_jax import _unpack_seed_host
+
+    S = 4
+    host = np.zeros((2, 1 + 3 * S), dtype=np.int32)
+    # read 0: one seed at rpos 40000, len 20, k0 7, freq 3
+    host[0, 0] = (1 << 1) | 1
+    host[0, 1] = np.uint32((40000 << 16) | 20).view(np.int32)
+    host[0, 1 + S] = 7
+    host[0, 1 + 2 * S] = 3
+    fin = np.array([0])
+    rp, ln, kk, fr = _unpack_seed_host(host, fin, S, packed_halves=False)
+    assert rp[0, 0] == 40000 and ln[0, 0] == 20
+    assert kk[0, 0] == 7 and fr[0, 0] == 3
+
+
+def test_unpack_seed_host_packed_halves_roundtrip():
+    import numpy as np
+
+    from dart_tpu.ops.fm_jax import _unpack_seed_host
+
+    S = 4
+    rng = np.random.default_rng(0)
+    rpos = rng.integers(0, 200, (3, S)).astype(np.int32)
+    slen = rng.integers(16, 100, (3, S)).astype(np.int32)
+    k0 = rng.integers(0, 2**31 - 1, (3, S)).astype(np.int32)
+    freq = rng.integers(-1, 100, (3, S)).astype(np.int32)
+    meta = (rpos << 8) | slen
+    meta2 = (meta[:, 0::2] << 16) | meta[:, 1::2]
+    fr = freq + 1
+    fr2 = (fr[:, 0::2] << 16) | fr[:, 1::2]
+    host = np.concatenate(
+        [np.full((3, 1), 1, np.int32), meta2, k0, fr2], axis=1)
+    rp, ln, kk, fq = _unpack_seed_host(host, np.arange(3), S, True)
+    assert (rp == rpos).all() and (ln == slen).all()
+    assert (kk == k0).all() and (fq == freq).all()
