@@ -36,7 +36,7 @@ Options: -t INT        number of threads [4]
          -min_intron   the minimal intron size [10]
          -v            version
 Extensions:
-         --engine E    compute engine: numpy | jax [numpy]
+         --engine E    compute engine: auto | jax | numpy [auto]
 """)
 
 
@@ -104,6 +104,9 @@ def parse_args(argv: list[str]) -> DartConfig | None:
         elif a == "--engine":
             i += 1
             cfg.engine = argv[i]
+        elif a == "--batch":
+            i += 1
+            cfg.batch_reads = max(2, int(argv[i]))
         elif a == "--no-native":
             cfg.native = False
         elif a == "--checkpoint":

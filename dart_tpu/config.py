@@ -27,7 +27,9 @@ class DartConfig:
     silent: bool = False
     debug: bool = False
     # dart_tpu extensions (not in the reference)
-    engine: str = "numpy"           # numpy | jax  (device compute engine)
+    engine: str = "auto"            # auto | jax | numpy (device compute engine);
+                                    # auto = jax when importable (TPU or CPU
+                                    # backend), else the NumPy fallback
     batch_reads: int = 32768  # device batch; output-invariant
     native: bool = True       # C++ host pipeline (fallback: pure Python)
     checkpoint: bool = False  # per-chunk cursor persistence + resume

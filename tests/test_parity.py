@@ -49,10 +49,11 @@ def test_output_parity(name, toy_index, data_dir, golden_dir, tmp_path, capsys):
     assert sj == golden_sj, f"junction table mismatch for {name}"
 
 
-@pytest.mark.parametrize("name", ["c3_spliced", "c5_pe"])
+@pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_output_parity_jax_engine(name, toy_index, data_dir, golden_dir, tmp_path, capsys):
     """Same bit-for-bit outputs when the device (JAX) engine computes
-    the MEM walks and SA locates."""
+    the MEM walks and SA locates — every golden config, since jax is
+    the default engine (config.engine == "auto" resolves to jax)."""
     sam, sj = run_config(name, CONFIGS[name], toy_index, data_dir, tmp_path,
                          engine="jax")
     assert sam == (golden_dir / f"{name}.sam").read_text()
