@@ -16,7 +16,7 @@ import gzip
 
 import numpy as np
 
-from ..constants import NT4_TABLE
+from ..constants import CHUNK_BASE_LIMIT, NT4_TABLE, READ_CHUNK_SIZE
 
 COMP_CODES = np.full(256, ord("N"), dtype=np.uint8)
 for _a, _b in [("A", "T"), ("a", "T"), ("C", "G"), ("c", "G"),
@@ -117,6 +117,11 @@ class FastChunkReader:
         self.fastq = raw[:1] == b"@"
         self.pair_end = pair_end
         self.chunk_reads = chunk_reads
+        # same base cap as the streaming reader (reference: 1 Mbase per
+        # 4000-read chunk, GetData.cpp:176): long-read inputs would
+        # otherwise materialize a chunk_reads x max_len codes matrix
+        self.chunk_bases = CHUNK_BASE_LIMIT * max(
+            1, chunk_reads // READ_CHUNK_SIZE)
         self._parse()
         self.cursor = 0
 
@@ -141,6 +146,7 @@ class FastChunkReader:
             self.qual_s, self.qual_e = qs, qe
             hb, hcut = _header_spans(buf, hs, he)
             self.hdr_s, self.hdr_e = hb, hcut
+            self.rec_lens = (se - ss).astype(np.int64)
         else:
             # FASTA with arbitrary line wrapping: record = '>' line +
             # following sequence lines concatenated
@@ -160,6 +166,11 @@ class FastChunkReader:
             self.fa_last = next_hdr  # exclusive
             self.qual_s = self.qual_e = None
             self.seq_s = self.seq_e = None
+            llen = (line_ends - line_starts).astype(np.int64)
+            cl = np.zeros(llen.shape[0] + 1, dtype=np.int64)
+            np.cumsum(llen, out=cl[1:])
+            self.rec_lens = cl[np.minimum(self.fa_last, llen.shape[0])] - \
+                cl[np.minimum(self.fa_first, llen.shape[0])]
 
     def _fasta_seq_blob(self, a, b):
         """Sequences of records [a, b): wrapped lines concatenated."""
@@ -191,8 +202,21 @@ class FastChunkReader:
     def next_chunk(self):
         a = self.cursor
         # the streaming reader pulls records pairwise, so chunk sizes
-        # round up to even (GetNextChunk semantics)
-        b = min(a + ((self.chunk_reads + 1) & ~1), self.n_reads)
+        # round up to even (GetNextChunk semantics); it also closes a
+        # chunk at the first pair that pushes cumulative bases past the
+        # chunk_bases cap — replicated here over the precomputed
+        # record-length prefix sums
+        max_n = min((self.chunk_reads + 1) & ~1, self.n_reads - a)
+        if max_n <= 0:
+            return None
+        cum = np.cumsum(self.rec_lens[a:a + max_n])
+        pair_ends = np.arange(2, max_n + 1, 2)
+        if pair_ends.size:
+            over = cum[pair_ends - 1] > self.chunk_bases
+            n_take = int(pair_ends[over.argmax()]) if over.any() else max_n
+        else:
+            n_take = max_n
+        b = a + n_take
         if b <= a:
             return None
         self.cursor = b
@@ -228,6 +252,8 @@ class FastPairedReader:
         self.fastq = self.r1.fastq
         self.pair_end = True
         self.pairs_per_chunk = ((chunk_reads + 1) & ~1) // 2
+        self.chunk_bases = CHUNK_BASE_LIMIT * max(
+            1, chunk_reads // READ_CHUNK_SIZE)
         self.cursor = 0
         self.n_pairs = min(self.r1.n_reads, self.r2.n_reads)
 
@@ -260,7 +286,16 @@ class FastPairedReader:
 
     def next_chunk(self):
         a = self.cursor
-        b = min(a + self.pairs_per_chunk, self.n_pairs)
+        max_p = min(self.pairs_per_chunk, self.n_pairs - a)
+        if max_p <= 0:
+            return None
+        # close at the first pair that pushes cumulative bases (both
+        # mates) past the cap, mirroring the streaming reader
+        cum = np.cumsum(self.r1.rec_lens[a:a + max_p] +
+                        self.r2.rec_lens[a:a + max_p])
+        over = cum > self.chunk_bases
+        n_take = int(over.argmax()) + 1 if over.any() else max_p
+        b = a + n_take
         if b <= a:
             return None
         self.cursor = b

@@ -105,3 +105,38 @@ def _collect_slow2(p1, p2):
         out.append(reads)
     r.close()
     return out
+
+
+def test_chunk_bases_cap_long_reads(tmp_path):
+    """Chunk boundaries must match the streaming reader when the base
+    cap (not the read count) closes chunks — long-read inputs."""
+    import random
+
+    rng = random.Random(7)
+    path = tmp_path / "long.fq"
+    with open(path, "w") as f:
+        for i in range(40):
+            L = rng.choice([5000, 20000, 120000])
+            seq = "".join(rng.choice("ACGT") for _ in range(L))
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * L}\n")
+    _compare(str(path), chunk=4000)
+    # paired split files: cap counts both mates
+    p2 = tmp_path / "long_2.fq"
+    with open(p2, "w") as f:
+        for i in range(40):
+            L = rng.choice([5000, 20000, 120000])
+            seq = "".join(rng.choice("ACGT") for _ in range(L))
+            f.write(f"@r{i}\n{seq}\n+\n{'I' * L}\n")
+    from dart_tpu.io.fastx_fast import FastPairedReader
+
+    slow = ChunkReader(str(path), str(p2), True, chunk_reads=4000)
+    fast = FastPairedReader(str(path), str(p2), 4000)
+    while True:
+        sc = slow.next_chunk()
+        fc = fast.next_chunk()
+        if not sc:
+            assert fc is None
+            break
+        assert fc is not None and len(sc) == len(fc)
+        for i, read in enumerate(sc):
+            assert fc.seq(i) == read.seq
