@@ -94,7 +94,11 @@ def make_shard_reader(path1: str, path2, pair_end: bool, chunk_reads: int,
     from ..io.fastx import ChunkReader
 
     gz = path1.endswith(".gz")
-    if gz or path2 is not None:
+    if gz or path2 is not None or pair_end:
+        # pair_end without path2 = interleaved pairs: byte_shard aligns
+        # to ANY record boundary, and a shard starting at an odd record
+        # index would flip mate parity for its whole range — chunk
+        # round-robin keeps pairs intact (chunks round to even counts)
         return _StridedReader(ChunkReader(path1, path2, pair_end,
                                           chunk_reads=chunk_reads),
                               n_shards, shard_id)
@@ -191,15 +195,22 @@ def run_distributed(cfg, coordinator: str, num_processes: int,
 
     shard_sam = f"{cfg.output_file}.shard{process_id:04d}"
     files2 = cfg.read_files_2 if cfg.read_files_2 else [None] * len(cfg.read_files_1)
+    # per-file chunk byte ranges: round-robin (strided) shards must be
+    # re-interleaved in global chunk order at the merge, and multi-file
+    # runs must merge file sections in input order — a plain shard-file
+    # concatenation would reorder both
+    shard_meta = {"files": []}
     with open(shard_sam, "w") as out:
         def emit(sam):
             out.write(sam.decode("latin-1") if isinstance(sam, bytes)
                       else "\n".join(sam) + ("\n" if sam else ""))
+            offs.append(out.tell())
 
         for path1, path2 in zip(cfg.read_files_1, files2):
             reader = make_shard_reader(path1, path2, cfg.pair_end,
                                        cfg.batch_reads, num_processes,
                                        process_id)
+            offs = [out.tell()]
             if aligner.native is not None:
                 aligner._run_pipelined(reader, reader.pair_end, emit)
             else:
@@ -210,6 +221,13 @@ def run_distributed(cfg, coordinator: str, num_processes: int,
                     emit(aligner.process_chunk(reads, reader.pair_end,
                                                reader.fastq))
             reader.close()
+            shard_meta["files"].append(
+                {"strided": isinstance(reader, _StridedReader),
+                 "offsets": offs})
+    import json
+
+    with open(shard_sam + ".idx", "w") as f:
+        json.dump(shard_meta, f)
 
     # ---- merge phase (collectives) ----
     sj_items = (aligner.native.sj_items() if aligner.native is not None
@@ -226,17 +244,72 @@ def run_distributed(cfg, coordinator: str, num_processes: int,
         aligner.native = None  # totals only from the merged map below
         c["total"], c["unique"], c["unmapped"], c["paired"] = (
             int(totals[0]), int(totals[1]), int(totals[2]), int(totals[3]))
-        with open(cfg.output_file, "w") as final:
-            for line in aligner.header_lines():
-                final.write(line + "\n")
-            for pid in range(num_processes):
-                shard = f"{cfg.output_file}.shard{pid:04d}"
-                # host 0 sees only its own shard's bytes on local disk;
-                # on a shared filesystem all shards are visible
-                if os.path.exists(shard):
-                    with open(shard) as f:
-                        for chunk in iter(lambda: f.read(1 << 20), ""):
-                            final.write(chunk)
+        # host 0 sees only its own shard's bytes on local disk; on a
+        # shared filesystem all shards (and their .idx) are visible
+        shards = []
+        for pid in range(num_processes):
+            shard = f"{cfg.output_file}.shard{pid:04d}"
+            if not os.path.exists(shard):
+                continue
+            meta = None
+            if os.path.exists(shard + ".idx"):
+                with open(shard + ".idx") as f:
+                    meta = json.load(f)
+            shards.append((open(shard, "rb"), meta))
+
+        def merged_pieces():
+            """Yield shard byte ranges in single-host output order:
+            file sections in input order; within a strided file, chunks
+            re-interleaved round-robin (chunk j came from shard
+            j % n_shards at local index j // n_shards); byte-range
+            files in shard order."""
+            n_files = max((len(m["files"]) for _, m in shards if m),
+                          default=0)
+            for fi in range(n_files):
+                strided = any(m["files"][fi]["strided"]
+                              for _, m in shards if m)
+                if strided:
+                    j = 0
+                    while True:
+                        fh, m = shards[j % len(shards)]
+                        offs = m["files"][fi]["offsets"]
+                        k = j // len(shards)
+                        if k + 1 >= len(offs):
+                            break  # first missing chunk ends the file
+                        yield fh, offs[k], offs[k + 1]
+                        j += 1
+                else:
+                    for fh, m in shards:
+                        offs = m["files"][fi]["offsets"]
+                        yield fh, offs[0], offs[-1]
+
+        if cfg.output_format == 1:
+            # -bo: shards are SAM text; host 0 encodes the merge to BAM
+            from ..io.bam import BamWriter
+
+            writer = BamWriter(cfg.output_file)
+            writer.write_header(aligner.header_lines())
+            for fh, lo, hi in merged_pieces():
+                fh.seek(lo)
+                for line in fh.read(hi - lo).decode("latin-1").splitlines():
+                    if line:
+                        writer.write_record(line)
+            writer.close()
+        else:
+            with open(cfg.output_file, "wb") as final:
+                for line in aligner.header_lines():
+                    final.write(line.encode() + b"\n")
+                for fh, lo, hi in merged_pieces():
+                    fh.seek(lo)
+                    left = hi - lo
+                    while left > 0:
+                        buf = fh.read(min(left, 1 << 20))
+                        if not buf:
+                            break
+                        final.write(buf)
+                        left -= len(buf)
+        for fh, _ in shards:
+            fh.close()
         n_sj = write_sj_table(idx, merged_sj, cfg.sj_file)
         aligner.print_summary(n_sj)
     multihost_utils.sync_global_devices("dart_tpu_run_done")

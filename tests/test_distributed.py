@@ -26,8 +26,14 @@ def _free_port() -> int:
 @pytest.mark.parametrize("reads,golden,extra", [
     ("se_exact.fa", "c1_se_exact", []),
     ("spliced.fa", "c3_spliced", []),
+    # split gz pair and interleaved pairs exercise the round-robin
+    # (_StridedReader) sharding path end-to-end
+    ("pe_1.fq.gz", "c6_pe_gz", ["-f2", "{DATA}/pe_2.fq.gz", "-mis", "5",
+                                "--batch", "16"]),
+    ("pe_inter.fq", "c7_pe_inter", ["-p", "-mis", "5", "--batch", "16"]),
 ])
 def test_two_process_run_matches_golden(tmp_path, reads, golden, extra):
+    extra = [a.format(DATA=DATA) for a in extra]
     port = _free_port()
     out = tmp_path / "out.sam"
     sj = tmp_path / "junctions.tab"
@@ -63,3 +69,46 @@ def test_two_process_run_matches_golden(tmp_path, reads, golden, extra):
     assert got == want
     assert sj.read_text() == open(
         os.path.join(GOLD, f"{golden}.junctions.tab")).read()
+
+
+def test_two_process_bam_output(tmp_path):
+    """-bo in distributed mode: host 0 encodes the shard merge to BAM;
+    decoded records must match the single-host SAM golden."""
+    from test_bam import decode_bam
+
+    port = _free_port()
+    out = tmp_path / "out.bam"
+    sj = tmp_path / "junctions.tab"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = []
+    for pid in range(2):
+        cmd = [sys.executable, "-m", "dart_tpu.cli",
+               "-i", os.path.join(GOLD, "index", "toy"),
+               "-f", os.path.join(DATA, "spliced.fa"),
+               "-bo", str(out), "-j", str(sj), "-silent", "--batch", "16",
+               "--dist-coordinator", f"127.0.0.1:{port}",
+               "--dist-nprocs", "2", "--dist-pid", str(pid)]
+        procs.append(subprocess.Popen(cmd, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE))
+    for p in procs:
+        try:
+            _, errb = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, errb.decode()[-2000:]
+
+    golden_lines = [l for l in open(os.path.join(GOLD, "c3_spliced.sam"))
+                    if not l.startswith("@")]
+    _, refs, records = decode_bam(str(out))
+    assert len(records) == len(golden_lines)
+    for rec, line in zip(records, golden_lines):
+        f = line.rstrip("\n").split("\t")
+        assert rec["name"] == f[0] and rec["flag"] == int(f[1])
+        assert rec["pos"] == int(f[3]) and rec["cigar"] == f[5]
