@@ -154,20 +154,23 @@ def write_sa_file(path: str, primary: int, L2: np.ndarray, samples: np.ndarray, 
         f.write(samples[1:].astype("<u8").tobytes())
 
 
-SAD_MAGIC = 0x44415344  # "DSAD"
+SAD_MAGIC = 0x44415344    # "DSAD": int32 payload (seq_len < 2^31)
+SAD_MAGIC64 = 0x44415345  # "ESAD": int64 payload (wide genomes)
 SAD_INTERVAL = 8
 
 
-def write_sad_file(path: str, samples: np.ndarray, intv: int) -> None:
+def write_sad_file(path: str, samples: np.ndarray, intv: int,
+                   wide: bool = False) -> None:
     """dart_tpu extension: dense SA samples for the device locate
     kernel. A batched LF-walk's cost is its LONGEST lane (~intv * ln(B)
     steps over batch B), not the mean, so the TPU wants denser samples
-    than the BWA .sa's every-32 (bwtindex.c:141). int32 payload; only
-    written for seq_len < 2^31 (the device layout bound)."""
+    than the BWA .sa's every-32 (bwtindex.c:141). int32 payload for
+    seq_len < 2^31, int64 ("ESAD" magic) beyond."""
     with open(path, "wb") as f:
-        header = np.array([SAD_MAGIC, intv, samples.shape[0]], dtype="<u8")
+        magic = SAD_MAGIC64 if wide else SAD_MAGIC
+        header = np.array([magic, intv, samples.shape[0]], dtype="<u8")
         f.write(header.tobytes())
-        f.write(samples.astype("<i4").tobytes())
+        f.write(samples.astype("<i8" if wide else "<i4").tobytes())
 
 
 def build_index(fasta_path: str, prefix: str, seed: int = 11,
@@ -189,6 +192,11 @@ def build_index(fasta_path: str, prefix: str, seed: int = 11,
     packer.write_pac(prefix + ".pac", pg.seq2)
     packer.write_ann(prefix + ".ann", pg)
     packer.write_amb(prefix + ".amb", pg)
-    if sad_intv and seq_len < 2**31:
-        write_sad_file(prefix + ".sad", sample_sa(sa, seq_len, sad_intv),
-                       sad_intv)
+    if sad_intv:
+        # wide genomes use a sparser interval: dense samples at int64
+        # width would dominate HBM (the wide locate kernel compensates
+        # with straggler compaction)
+        wide = seq_len >= 2**31
+        intv = max(sad_intv, SA_INTERVAL) if wide else sad_intv
+        write_sad_file(prefix + ".sad", sample_sa(sa, seq_len, intv),
+                       intv, wide=wide)

@@ -115,8 +115,9 @@ def load_index(prefix: str) -> Index:
         with open(prefix + ".sad", "rb") as f:
             sdd = f.read()
         magic, intv, n_sad = np.frombuffer(sdd[:24], dtype="<u8")
-        if magic == 0x44415344:
-            sad_samples = np.frombuffer(sdd[24:], dtype="<i4",
+        if magic in (0x44415344, 0x44415345):  # "DSAD" i4 / "ESAD" i8
+            dt = "<i4" if magic == 0x44415344 else "<i8"
+            sad_samples = np.frombuffer(sdd[24:], dtype=dt,
                                         count=int(n_sad)).copy()
             sad_samples[0] = -1  # $ row sentinel, as with .sa
             sad_intv = int(intv)

@@ -1,0 +1,677 @@
+"""Wide (64-bit) JAX/XLA FM-index engine for genomes whose fwd+RC text
+reaches or exceeds 2^31 bases — the GRCh38 class the reference handles
+with plain int64 state (/root/reference/src/structure.h:29-45,
+bwt_search.cpp:127-182).
+
+TPU-first design decisions:
+- All 64-bit values are hand-rolled (lo, hi) uint32 pairs. TPUs have no
+  native int64 (XLA decomposes it), and flipping jax_enable_x64 is a
+  process-global config change that would invalidate the persistent
+  compilation cache for every 32-bit program; explicit pairs keep the
+  narrow engine untouched and compile to the same flat u32 VPU ops.
+- Block layout widens to 16 uint32 words per 128 BWT bases:
+  [occ_A..occ_T lo | occ_A..occ_T hi | w0..w7] — the same 0.5 bytes
+  per base as the narrow layout (8 words / 64 bases), still ONE
+  aligned row gather per Occ query. 128 matches the reference's occ
+  checkpoint interval (bwt_search.cpp:3-5).
+- Same automaton/dataflow as the narrow engine (ops/fm_jax.py): each
+  loop iteration issues exactly one merged 2R-row gather, everything
+  else is flat (R,) uint32/int32 VPU work. The v1 wide automaton runs
+  the pure scan (no K-mer LUT, no single-occurrence fast-extension) —
+  bit-equal to the reference scan semantics; the fast paths are
+  optimizations, not semantics, and can be grafted on later.
+- Index sharding for genomes larger than one chip's HBM: pass
+  index_mesh and the block/sad tables are placed with
+  PartitionSpec("index", None); XLA GSPMD partitions every row gather
+  across the mesh with collectives — no hand-written psum walk.
+
+Results are bit-identical to ops/fm_numpy.FMIndexNumpy (tested on the
+toy index and on a synthetic >2^31 genome).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.loader import Index
+from .fm_jax import _pc_even, _sel4, _sel8, _unpack_seed_host  # noqa: F401
+
+BLOCK_W = 128  # bases per wide occ-checkpoint row
+
+
+# ---------------- (lo, hi) uint32 pair arithmetic ----------------
+#
+# Values are unsigned 64-bit split into two uint32 vectors. Negative
+# sentinels (-1) travel in two's complement and survive add/sub.
+
+
+def _p_const(v: int):
+    """Static int -> (lo, hi) python ints for baking into jit."""
+    v &= (1 << 64) - 1
+    return v & 0xFFFFFFFF, v >> 32
+
+
+def _p_add(alo, ahi, blo, bhi):
+    lo = alo + blo
+    carry = (lo < blo).astype(jnp.uint32)
+    return lo, ahi + bhi + carry
+
+
+def _p_add_i32(alo, ahi, b):
+    """Add a signed int32 vector (sign-extended) to a pair."""
+    blo = b.astype(jnp.uint32)
+    bhi = (b >> 31).astype(jnp.uint32)  # arithmetic: 0 or 0xFFFFFFFF
+    return _p_add(alo, ahi, blo, bhi)
+
+
+def _p_sub(alo, ahi, blo, bhi):
+    borrow = (alo < blo).astype(jnp.uint32)
+    return alo - blo, ahi - bhi - borrow
+
+
+def _p_lt(alo, ahi, blo, bhi):
+    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+
+
+def _p_le(alo, ahi, blo, bhi):
+    return (ahi < bhi) | ((ahi == bhi) & (alo <= blo))
+
+
+def _p_eq(alo, ahi, blo, bhi):
+    return (alo == blo) & (ahi == bhi)
+
+
+def _p_nonzero(alo, ahi):
+    return (alo | ahi) != 0
+
+
+def _p_where(c, alo, ahi, blo, bhi):
+    return jnp.where(c, alo, blo), jnp.where(c, ahi, bhi)
+
+
+def _p_shr(alo, ahi, s: int):
+    """Logical right shift by a static 1..31."""
+    return (alo >> s) | (ahi << (32 - s)), ahi >> s
+
+
+def _split64(v: np.ndarray):
+    """Host helper: int64/uint64 array -> (lo, hi) uint32 arrays."""
+    u = np.asarray(v).astype(np.int64).view(np.uint64)
+    return (u & 0xFFFFFFFF).astype(np.uint32), (u >> 32).astype(np.uint32)
+
+
+def _join64(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    return (lo.astype(np.uint64)
+            | (hi.astype(np.uint64) << 32)).view(np.int64)
+
+
+def _sel4_pair(c, vals):
+    """vals: tuple of 4 (lo, hi) pairs."""
+    return (_sel4(c, vals[0][0], vals[1][0], vals[2][0], vals[3][0]),
+            _sel4(c, vals[0][1], vals[1][1], vals[2][1], vals[3][1]))
+
+
+# ---------------- layout ----------------
+
+
+def build_device_layout_wide(idx: Index) -> np.ndarray:
+    """(n_blocks, 16) uint32 rows: 4 occ lo, 4 occ hi, 8 BWT words
+    covering 128 bases (top bits first within each word)."""
+    n = idx.seq_len
+    n_blocks = (n + BLOCK_W - 1) // BLOCK_W
+    padded = np.zeros(n_blocks * BLOCK_W, dtype=np.uint8)
+    padded[:n] = idx.bwt
+    onehot = padded.reshape(n_blocks, BLOCK_W, 1) == np.arange(4, dtype=np.uint8)
+    per_block = onehot.sum(axis=1).astype(np.int64)
+    occ_start = np.zeros((n_blocks, 4), dtype=np.int64)
+    np.cumsum(per_block[:-1], axis=0, out=occ_start[1:])
+    olo, ohi = _split64(occ_start)
+    w = padded.reshape(-1, 16).astype(np.uint32)
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
+    words = (w << shifts).sum(axis=1, dtype=np.uint64).astype(
+        np.uint32).reshape(n_blocks, 8)
+    return np.concatenate([olo, ohi, words], axis=1)
+
+
+# ---------------- kernels ----------------
+
+
+def _word_masks8(take):
+    """Masks keeping the first `take` (1..128) bases of an 8-word group."""
+    ms = []
+    for j in range(8):
+        tw = jnp.clip(take - j * 16, 0, 16)
+        shift = jnp.minimum((16 - tw) * 2, 31)
+        m = jnp.where(tw == 0, jnp.uint32(0),
+                      jnp.uint32(0xFFFFFFFF) << shift.astype(jnp.uint32))
+        ms.append(m)
+    return ms
+
+
+def _occ4_cols_wide(cols, kk_lo, kk_hi):
+    """Occ(kk, c) for all c from 16 gathered row columns; kk is a
+    $-row-adjusted pair. Returns 4 (lo, hi) pairs."""
+    take = (kk_lo.astype(jnp.int32) & 127) + 1
+    masks = _word_masks8(take)
+    wms = [cols[8 + j] & masks[j] for j in range(8)]
+    pad = BLOCK_W - take
+    out = []
+    for c in range(4):
+        cnt = jnp.zeros_like(take)
+        for wm in wms:
+            hi = wm if (c & 2) else ~wm
+            lo = wm if (c & 1) else ~wm
+            cnt = cnt + _pc_even((hi >> 1) & lo & jnp.uint32(0x55555555))
+        if c == 0:
+            cnt = cnt - pad  # masked-off bases read as base 0
+        out.append(_p_add_i32(cols[c], cols[4 + c], cnt))
+    return out
+
+
+def _adjust_k(q_lo, q_hi, primary: int):
+    """kk = max(q - (q >= primary), 0) as pairs (bwt_occ4's $-row skip);
+    also returns the block-row gather index (int32)."""
+    plo, phi = _p_const(primary)
+    ge = ~_p_lt(q_lo, q_hi, jnp.uint32(plo), jnp.uint32(phi))
+    klo, khi = _p_add_i32(q_lo, q_hi, -(ge.astype(jnp.int32)))
+    # q >= 0 and primary >= 1 keep kk >= -1; clamp -1 (0xFF.., 0xFF..) to 0
+    neg = khi == jnp.uint32(0xFFFFFFFF)
+    klo = jnp.where(neg, 0, klo)
+    khi = jnp.where(neg, 0, khi)
+    row_lo, _ = _p_shr(klo, khi, 7)
+    return klo, khi, row_lo.astype(jnp.int32)
+
+
+def _occ4_pair_wide(blocks, q1, q2, primary: int):
+    """Occ4 at two pair positions with ONE merged row gather
+    (bwt_2occ4 semantics widened). q1/q2: (lo, hi). Returns (tk, tl)
+    as tuples of 4 pairs each."""
+    n = q1[0].shape[0]
+    k1lo, k1hi, r1 = _adjust_k(q1[0], q1[1], primary)
+    k2lo, k2hi, r2 = _adjust_k(q2[0], q2[1], primary)
+    rows = blocks[jnp.concatenate([r1, r2])]          # (2N, 16), one gather
+    cols = [rows[:, j] for j in range(16)]
+    occ = _occ4_cols_wide(cols, jnp.concatenate([k1lo, k2lo]),
+                          jnp.concatenate([k1hi, k2hi]))
+    tk = [(p[0][:n], p[1][:n]) for p in occ]
+    tl = [(p[0][n:], p[1][n:]) for p in occ]
+    return tk, tl
+
+
+def _l2_pair(L2lo, L2hi, c):
+    """L2[c] for per-lane c in 0..4 as a pair select tree."""
+    rlo = jnp.where(c == 0, L2lo[0], L2lo[4])
+    rhi = jnp.where(c == 0, L2hi[0], L2hi[4])
+    for i in (1, 2, 3):
+        rlo = jnp.where(c == i, L2lo[i], rlo)
+        rhi = jnp.where(c == i, L2hi[i], rhi)
+    return rlo, rhi
+
+
+def _backward_ext_wide(L2lo, L2hi, x0, x1, x2, tk, tl, primary: int):
+    """Wide BWT_Search extension step (bwt_search.cpp:150-171):
+    returns per-base (starts, new_x1, widths) as pair tuples."""
+    w = [_p_sub(tl[c][0], tl[c][1], tk[c][0], tk[c][1]) for c in range(4)]
+    plo, phi = _p_const(primary)
+    plo = jnp.uint32(plo)
+    phi = jnp.uint32(phi)
+    le = _p_le(x1[0], x1[1], plo, phi)                       # x1 <= primary
+    end_lo, end_hi = _p_add(x1[0], x1[1], x2[0], x2[1])
+    end_lo, end_hi = _p_add_i32(end_lo, end_hi, jnp.int32(-1))
+    ge = ~_p_lt(end_lo, end_hi, plo, phi)                    # x1+x2-1 >= primary
+    adj = (le & ge).astype(jnp.int32)
+    s3 = _p_add_i32(x0[0], x0[1], adj)
+    s2 = _p_add(s3[0], s3[1], w[3][0], w[3][1])
+    s1 = _p_add(s2[0], s2[1], w[2][0], w[2][1])
+    s0 = _p_add(s1[0], s1[1], w[1][0], w[1][1])
+    starts = (s0, s1, s2, s3)
+    nx1 = []
+    for c in range(4):
+        v = _p_add(tk[c][0], tk[c][1], L2lo[c], L2hi[c])
+        nx1.append(_p_add_i32(v[0], v[1], jnp.int32(1)))
+    return starts, tuple(nx1), w
+
+
+def _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens, *, primary,
+                           max_dup, max_seeds, max_iters):
+    """Wide device automaton replaying the reference seeding scan
+    (IdentifySeedPairs, AlignmentCandidates.cpp:188-211) with 64-bit
+    interval state as uint32 pairs. One lane per read; same control
+    flow as the narrow _seed_scan_kernel minus the LUT/fast-extension
+    modes. Emits (done, nseeds, rpos, len, k0_lo, k0_hi, freq)."""
+    R, L = codes.shape
+    S = max_seeds
+    codes_i = codes.astype(jnp.int32)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    zero = jnp.zeros(R, jnp.uint32)
+
+    end_pos = jnp.maximum(rlens - 13, 0)
+    pos = jnp.zeros(R, jnp.int32)
+    cur = jnp.zeros(R, jnp.int32)   # cur == pos -> not initialized
+    x0 = (zero, zero)
+    x1 = (zero, zero)
+    x2 = (zero, zero)
+    nseeds = jnp.zeros(R, jnp.int32)
+    done = pos >= end_pos
+    out_rpos = jnp.zeros((S, R), jnp.int32)
+    out_len = jnp.zeros((S, R), jnp.int32)
+    out_k0lo = jnp.zeros((S, R), jnp.uint32)
+    out_k0hi = jnp.zeros((S, R), jnp.uint32)
+    out_freq = jnp.zeros((S, R), jnp.int32)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    mdlo, mdhi = _p_const(max_dup)
+
+    def cond(st):
+        return jnp.any(~st[0][0]) & (st[1] < max_iters)
+
+    def body(outer_st):
+        st, it = outer_st
+        (done, pos, cur, x0lo, x0hi, x1lo, x1hi, x2lo, x2hi, nseeds,
+         out_rpos, out_len, out_k0lo, out_k0hi, out_freq) = st
+        x0 = (x0lo, x0hi)
+        x1 = (x1lo, x1hi)
+        x2 = (x2lo, x2hi)
+
+        initing = (~done) & (cur == pos)
+        scanning = (~done) & (cur > pos)
+
+        safe_cur = jnp.minimum(cur, L - 1)
+        oh = iota_l == safe_cur[:, None]
+        ch_raw = jnp.sum(jnp.where(oh, codes_i, 0), axis=1)
+        ch = jnp.where(cur < rlens, ch_raw, 4)
+        amb = ch > 3
+        c_safe = jnp.minimum(ch, 3)
+
+        # ---- init values (BWT_Search init, bwt_search.cpp:139-147) ----
+        i_x0 = _p_add_i32(*_l2_pair(L2lo, L2hi, c_safe), jnp.int32(1))
+        i_x1 = _p_add_i32(*_l2_pair(L2lo, L2hi, 3 - c_safe), jnp.int32(1))
+        i_x2 = _p_sub(*_l2_pair(L2lo, L2hi, c_safe + 1),
+                      *_l2_pair(L2lo, L2hi, c_safe))
+        init_ok = ~amb
+
+        # ---- THE gather ----
+        q1 = _p_add_i32(x1[0], x1[1], jnp.int32(-1))
+        q2 = _p_add(q1[0], q1[1], x2[0], x2[1])
+        q1 = _p_where(scanning, q1[0], q1[1], zero, zero)
+        q2 = _p_where(scanning, q2[0], q2[1], zero, zero)
+        tk, tl = _occ4_pair_wide(blocks, q1, q2, primary)
+        starts, nx1, w = _backward_ext_wide(L2lo, L2hi, x0, x1, x2, tk, tl,
+                                            primary)
+        ci = 3 - c_safe
+        wi = _sel4_pair(ci, w)
+        can_extend = scanning & ~amb & _p_nonzero(*wi)
+        scan_end = scanning & ~can_extend
+
+        # ---- seed end: accept/emit/jump ----
+        length = cur - pos
+        acc = (scan_end & _p_le(x2[0], x2[1], jnp.uint32(mdlo),
+                                jnp.uint32(mdhi)) & (length >= 16))
+
+        def emit(args):
+            o_rpos, o_len, o_k0lo, o_k0hi, o_freq = args
+            hit = acc[None, :] & (slot_ids == nseeds[None, :])
+            return (jnp.where(hit, pos[None, :], o_rpos),
+                    jnp.where(hit, length[None, :], o_len),
+                    jnp.where(hit, x0[0][None, :], o_k0lo),
+                    jnp.where(hit, x0[1][None, :], o_k0hi),
+                    jnp.where(hit, x2[0].astype(jnp.int32)[None, :], o_freq))
+
+        out_rpos, out_len, out_k0lo, out_k0hi, out_freq = jax.lax.cond(
+            jnp.any(acc), emit, lambda a: a,
+            (out_rpos, out_len, out_k0lo, out_k0hi, out_freq))
+        nseeds = jnp.where(acc, nseeds + 1, nseeds)
+
+        # ---- state update ----
+        new_pos = jnp.where(scan_end, jnp.where(acc, pos + length, pos + 1),
+                            jnp.where(initing & ~init_ok, pos + 1, pos))
+        new_cur = jnp.where(can_extend, cur + 1,
+                            jnp.where(initing & init_ok, cur + 1, new_pos))
+        sel = _sel4_pair(ci, starts)
+        nx1s = _sel4_pair(ci, nx1)
+        x0n = _p_where(can_extend, sel[0], sel[1],
+                       *_p_where(initing & init_ok, i_x0[0], i_x0[1],
+                                 x0[0], x0[1]))
+        x1n = _p_where(can_extend, nx1s[0], nx1s[1],
+                       *_p_where(initing & init_ok, i_x1[0], i_x1[1],
+                                 x1[0], x1[1]))
+        x2n = _p_where(can_extend, wi[0], wi[1],
+                       *_p_where(initing & init_ok, i_x2[0], i_x2[1],
+                                 x2[0], x2[1]))
+        done = done | (new_pos >= end_pos)
+        return ((done, new_pos, new_cur, x0n[0], x0n[1], x1n[0], x1n[1],
+                 x2n[0], x2n[1], nseeds,
+                 out_rpos, out_len, out_k0lo, out_k0hi, out_freq),
+                it + 1)
+
+    st = (done, pos, cur, x0[0], x0[1], x1[0], x1[1], x2[0], x2[1], nseeds,
+          out_rpos, out_len, out_k0lo, out_k0hi, out_freq)
+    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
+    (done, _, _, _, _, _, _, _, _, nseeds,
+     out_rpos, out_len, out_k0lo, out_k0hi, out_freq) = st
+    return done, nseeds, out_rpos, out_len, out_k0lo, out_k0hi, out_freq
+
+
+def _seed_scan_packed_wide(blocks, L2lo, L2hi, codes2, nmask, rlens, *,
+                           primary, max_dup, max_seeds, max_iters,
+                           read_len, use_nmask=True):
+    """Transfer-minimal wrapper (see narrow _seed_scan_packed): one
+    packed int32 result buffer [done|nseeds<<1, (rpos<<16|len) x S,
+    k0_lo x S, k0_hi x S, freq x S]."""
+    S = max_seeds
+    R = codes2.shape[0]
+    parts = []
+    for k in range(16):
+        parts.append(((codes2 >> jnp.uint32(2 * (15 - k))) & 3)
+                     .astype(jnp.uint8))
+    codes = jnp.stack(parts, axis=2).reshape(R, read_len)
+    if use_nmask:
+        nparts = []
+        for k in range(32):
+            nparts.append(((nmask >> jnp.uint32(31 - k)) & 1)
+                          .astype(jnp.uint8))
+        isn = jnp.stack(nparts, axis=2).reshape(R, read_len)
+        codes = jnp.where(isn != 0, jnp.uint8(4), codes)
+    done, nseeds, o_rpos, o_len, o_k0lo, o_k0hi, o_freq = (
+        _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens,
+                               primary=primary, max_dup=max_dup,
+                               max_seeds=S, max_iters=max_iters))
+    head = (done.astype(jnp.int32) | (nseeds << 1))[:, None]
+    meta = ((o_rpos << 16) | o_len).T
+    return jnp.concatenate(
+        [head, meta,
+         jax.lax.bitcast_convert_type(o_k0lo.T, jnp.int32),
+         jax.lax.bitcast_convert_type(o_k0hi.T, jnp.int32),
+         o_freq.T], axis=1)
+
+
+_UNFINISHED_HI = 0x80000000
+
+
+def _locate_kernel_wide(blocks, L2lo, L2hi, sad_lo, sad_hi, k_lo, k_hi, *,
+                        primary, sa_intv, max_iters):
+    """Wide batched bwt_sa (bwt_search.cpp:127-137): LF-walk each row
+    pair until it hits a sampled row, then add the sample. One merged
+    row gather per iteration serves both the BWT character read and
+    the Occ count. Lanes exhausting max_iters return hi=_UNFINISHED_HI
+    (impossible for real positions) for host-side rerun."""
+    mask = jnp.uint32(sa_intv - 1)
+    plo, phi = _p_const(primary)
+    plo = jnp.uint32(plo)
+    phi = jnp.uint32(phi)
+    sa_shift = int(sa_intv).bit_length() - 1
+
+    def cond(carry):
+        klo, khi, steps, it = carry
+        return jnp.any((klo & mask) != 0) & (it < max_iters)
+
+    def body(carry):
+        klo, khi, steps, it = carry
+        active = (klo & mask) != 0
+        kklo, kkhi, row = _adjust_k(klo, khi, primary)
+        # x = k - (k > primary): differs from kk only at k == primary,
+        # whose result is overridden below
+        rows = blocks[row]
+        cols = [rows[:, j] for j in range(16)]
+        xlo = kklo  # see narrow kernel: x>>7 == kk>>7 except k==primary
+        word = _sel8(((xlo >> 4) & 7).astype(jnp.int32),
+                     [cols[8 + j] for j in range(8)])
+        shift = ((~xlo & 15) << 1).astype(jnp.uint32)
+        c = ((word >> shift) & 3).astype(jnp.int32)
+        take = (kklo.astype(jnp.int32) & 127) + 1
+        masks = _word_masks8(take)
+        cnt = jnp.zeros_like(take)
+        for j in range(8):
+            wm = cols[8 + j] & masks[j]
+            hi = jnp.where((c & 2) != 0, wm, ~wm)
+            lo = jnp.where((c & 1) != 0, wm, ~wm)
+            cnt = cnt + _pc_even((hi >> 1) & lo & jnp.uint32(0x55555555))
+        cnt = jnp.where(c == 0, cnt - (BLOCK_W - take), cnt)
+        base = _sel4_pair(c, [(cols[j], cols[4 + j]) for j in range(4)])
+        l2 = _l2_pair(L2lo, L2hi, c)
+        nxt = _p_add(base[0], base[1], l2[0], l2[1])
+        nxt = _p_add_i32(nxt[0], nxt[1], cnt)
+        at_primary = _p_eq(klo, khi, plo, phi)
+        nxt = _p_where(at_primary, jnp.zeros_like(klo), jnp.zeros_like(khi),
+                       nxt[0], nxt[1])
+        klo2, khi2 = _p_where(active, nxt[0], nxt[1], klo, khi)
+        steps2 = jnp.where(active, steps + 1, steps)
+        return (klo2, khi2, steps2, it + 1)
+
+    steps = jnp.zeros_like(k_lo, dtype=jnp.int32)
+    klo, khi, steps, _ = jax.lax.while_loop(
+        cond, body, (k_lo, k_hi, steps, jnp.int32(0)))
+    finished = (klo & mask) == 0
+    srow_lo, _ = _p_shr(klo, khi, sa_shift)
+    srow = srow_lo.astype(jnp.int32)
+    loc = _p_add_i32(sad_lo[srow], sad_hi[srow], steps)
+    out_lo = jnp.where(finished, loc[0], 0)
+    out_hi = jnp.where(finished, loc[1], jnp.uint32(_UNFINISHED_HI))
+    return jnp.stack([jax.lax.bitcast_convert_type(out_lo, jnp.int32),
+                      jax.lax.bitcast_convert_type(out_hi, jnp.int32)],
+                     axis=1)
+
+
+# ---------------- engine ----------------
+
+
+class FMIndexJaxWide:
+    """64-bit device engine; engine API-compatible with FMIndexJax
+    (seed_submit/seed_finish/seed_reads/locate) so the whole aligner
+    pipeline runs unchanged on GRCh38-scale genomes. Pass index_mesh
+    (a Mesh with an "index" axis) to range-shard the block/SA tables
+    over multiple chips when the index exceeds one chip's HBM."""
+
+    def __init__(self, idx: Index, device=None, max_dup_num: int = 100,
+                 index_mesh=None):
+        tab_sharding = device
+        vec_sharding = device
+        self._jit_opts = {}
+        self._min_bucket = 1024
+        n_shards = 1
+        if index_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            tab_sharding = NamedSharding(index_mesh, P("index", None))
+            vec_sharding = NamedSharding(index_mesh, P())
+            vec1_sharding = NamedSharding(index_mesh, P("index"))
+            n_shards = int(index_mesh.shape["index"])
+        blocks = build_device_layout_wide(idx)
+        if n_shards > 1:
+            # pad to a shard-divisible row count (pad rows are never
+            # gathered: every row index derives from k < seq_len)
+            def pad_rows(a):
+                r = (-a.shape[0]) % n_shards
+                if r == 0:
+                    return a
+                return np.concatenate(
+                    [a, np.zeros((r,) + a.shape[1:], a.dtype)])
+
+            blocks = pad_rows(blocks)
+        self.blocks = jax.device_put(blocks, tab_sharding)
+        l2lo, l2hi = _split64(idx.L2)
+        self.L2lo = jax.device_put(l2lo, vec_sharding)
+        self.L2hi = jax.device_put(l2hi, vec_sharding)
+        if idx.sad_samples is not None:
+            samples = idx.sad_samples.astype(np.int64)
+            self.sa_intv = int(idx.sad_intv)
+        else:
+            samples = idx.sa_samples.astype(np.int64)
+            self.sa_intv = int(idx.sa_intv)
+        slo, shi = _split64(samples)
+        sad_sharding = tab_sharding if index_mesh is None else vec1_sharding
+        if n_shards > 1:
+            slo, shi = pad_rows(slo), pad_rows(shi)
+        self.sad_lo = jax.device_put(slo, sad_sharding)
+        self.sad_hi = jax.device_put(shi, sad_sharding)
+        self.primary = int(idx.primary)
+        self.seq_len = int(idx.seq_len)
+        self.max_dup_num = int(max_dup_num)
+        self.lut_k = 0
+        self._seed_jit = {}
+        self._locate_jit = {}
+
+    # -- seeding (same submit/finish protocol as the narrow engine) --
+
+    @staticmethod
+    def _pad_up(n: int, floor: int = 1024) -> int:
+        p = floor
+        while p < n:
+            p <<= 1
+        return p
+
+    @staticmethod
+    def seed_slots(Lp: int, max_rlen: int) -> int:
+        s = max(1, (max_rlen - 14) // 16 + 1)
+        return min(Lp // 16, s + (s & 1))
+
+    def submit_seed_round(self, packed2, nmask, rl, Rp, Lp, T, S=None):
+        if S is None:
+            S = Lp // 16
+        use_nmask = nmask is not None
+        key = (Rp, Lp, T, use_nmask, S)
+        if key not in self._seed_jit:
+            self._seed_jit[key] = jax.jit(functools.partial(
+                _seed_scan_packed_wide, primary=self.primary,
+                max_dup=self.max_dup_num, max_seeds=S, max_iters=T,
+                read_len=Lp, use_nmask=use_nmask), **self._jit_opts)
+        if not use_nmask:
+            nmask = np.zeros((1, 1), dtype=np.uint32)
+        return self._seed_jit[key](
+            self.blocks, self.L2lo, self.L2hi, jnp.asarray(packed2),
+            jnp.asarray(nmask), jnp.asarray(rl))
+
+    def seed_submit(self, packed2, nmask, rl, nlive: int, Lp: int,
+                    max_rlen: int):
+        S = self.seed_slots(Lp, max_rlen)
+        dev = self.submit_seed_round(packed2, nmask, rl, packed2.shape[0],
+                                     Lp, 128, S)
+        return {"dev": dev, "packed2": packed2, "nmask": nmask, "rl": rl,
+                "nlive": nlive, "Lp": Lp, "S": S}
+
+    def seed_finish(self, job, on_wait=None):
+        packed2, nmask, rl = job["packed2"], job["nmask"], job["rl"]
+        R, Lp, S = job["nlive"], job["Lp"], job["S"]
+        n_out = np.zeros(R, dtype=np.int32)
+        rpos_out = np.zeros((R, S), dtype=np.int32)
+        len_out = np.zeros((R, S), dtype=np.int32)
+        k0_out = np.zeros((R, S), dtype=np.int64)
+        freq_out = np.zeros((R, S), dtype=np.int32)
+        lane_ids = np.arange(R, dtype=np.int64)
+        first_Rp = packed2.shape[0]
+        T_rerun = max(2048, Lp * Lp // 2)
+        dev = job["dev"]
+        rounds = 0
+        while lane_ids.size:
+            rounds += 1
+            if rounds > 4:
+                raise RuntimeError("seed scan failed to converge")
+            nlive = lane_ids.size
+            host = np.asarray(dev)[:nlive]
+            done = (host[:, 0] & 1) != 0
+            fin = np.nonzero(done)[0]
+            ids = lane_ids[fin]
+            n_out[ids] = host[fin, 0] >> 1
+            meta = host[fin, 1:1 + S]
+            rpos_out[ids] = (meta >> 16) & 0xFFFF
+            len_out[ids] = meta & 0xFFFF
+            k0_out[ids] = _join64(
+                host[fin, 1 + S:1 + 2 * S].view(np.uint32),
+                host[fin, 1 + 2 * S:1 + 3 * S].view(np.uint32))
+            freq_out[ids] = host[fin, 1 + 3 * S:1 + 4 * S]
+            live = np.nonzero(~done)[0]
+            if live.size == 0:
+                break
+            lane_ids = lane_ids[live]
+            if lane_ids.size <= self._min_bucket:
+                Rp = self._min_bucket
+            else:
+                Rp = (max(4096, self._min_bucket)
+                      if lane_ids.size <= max(4096, self._min_bucket)
+                      else first_Rp)
+            p2 = np.zeros((Rp, packed2.shape[1]), dtype=np.uint32)
+            p2[:lane_ids.size] = packed2[lane_ids]
+            nm = None
+            if nmask is not None:
+                nm = np.zeros((Rp, nmask.shape[1]), dtype=np.uint32)
+                nm[:lane_ids.size] = nmask[lane_ids]
+            rl2 = np.zeros(Rp, dtype=np.int32)
+            rl2[:lane_ids.size] = rl[lane_ids]
+            dev = self.submit_seed_round(p2, nm, rl2, Rp, Lp, T_rerun, S)
+            if on_wait is not None:
+                on_wait()
+                on_wait = None
+        if on_wait is not None:
+            on_wait()
+        return n_out, rpos_out, len_out, k0_out, freq_out
+
+    def seed_reads(self, codes: np.ndarray, rlens: np.ndarray):
+        """Batched reference seeding scan; same contract as the narrow
+        FMIndexJax.seed_reads (freq is always >= 1 here: no
+        fast-extension path in the wide automaton yet)."""
+        R, L = codes.shape
+        if L >= 65536:
+            raise ValueError("reads must be shorter than 65536 bases")
+        Lp = max(32, -(-L // 32) * 32)
+        Rp = self._pad_up(R, self._min_bucket)
+        rl = np.zeros(Rp, dtype=np.int32)
+        rl[:R] = np.asarray(rlens, dtype=np.int32)
+        cp = np.full((Rp, Lp), 4, dtype=np.uint8)
+        cp[:R, :L] = codes
+        in_read = np.arange(Lp, dtype=np.int32)[None, :] < rl[:, None]
+        c2 = np.where(in_read, np.minimum(cp, 3), 3).astype(np.uint32)
+        packed2 = np.zeros((Rp, Lp // 16), dtype=np.uint32)
+        nmask = np.zeros((Rp, Lp // 32), dtype=np.uint32)
+        for k in range(16):
+            packed2 |= c2[:, k::16] << np.uint32(2 * (15 - k))
+        isn = (cp > 3) & in_read
+        has_n = bool(isn.any())
+        if has_n:
+            for k in range(32):
+                nmask |= isn[:, k::32].astype(np.uint32) << np.uint32(31 - k)
+        return self.seed_finish(self.seed_submit(
+            packed2, nmask if has_n else None, rl, R, Lp,
+            int(rl[:R].max()) if R else 1))
+
+    # -- locate --
+
+    def locate(self, rows: np.ndarray) -> np.ndarray:
+        """Batched SA lookups with straggler compaction (see the narrow
+        engine's docstring); int64 in/out."""
+        n = rows.shape[0]
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        out = np.zeros(n, dtype=np.int64)
+        lane_ids = np.arange(n, dtype=np.int64)
+        cur_k = np.asarray(rows, dtype=np.int64)
+        T = int(self.sa_intv * (np.log(self._pad_up(n, self._min_bucket))
+                                + 4.0) / 32 + 1) * 32
+        while lane_ids.size:
+            npad = self._pad_up(lane_ids.size, self._min_bucket)
+            klo = np.zeros(npad, dtype=np.uint32)
+            khi = np.zeros(npad, dtype=np.uint32)
+            lo, hi = _split64(cur_k)
+            klo[: lane_ids.size] = lo
+            khi[: lane_ids.size] = hi
+            key = (npad, T)
+            if key not in self._locate_jit:
+                self._locate_jit[key] = jax.jit(functools.partial(
+                    _locate_kernel_wide, primary=self.primary,
+                    sa_intv=self.sa_intv, max_iters=T), **self._jit_opts)
+            res = np.asarray(self._locate_jit[key](
+                self.blocks, self.L2lo, self.L2hi, self.sad_lo, self.sad_hi,
+                jnp.asarray(klo), jnp.asarray(khi)))[: lane_ids.size]
+            lo32 = res[:, 0].view(np.uint32)
+            hi32 = res[:, 1].view(np.uint32)
+            fin = hi32 != _UNFINISHED_HI
+            out[lane_ids[fin]] = _join64(lo32[fin], hi32[fin])
+            live = ~fin
+            if not live.any():
+                break
+            lane_ids = lane_ids[live]
+            cur_k = cur_k[live]
+            T = 512 * self.sa_intv
+        return out

@@ -23,27 +23,50 @@ class FMIndexNumpy:
     """Host FM-index with a full per-position cumulative Occ table
     (16 bytes/base) for O(1) vectorized occ lookups."""
 
-    def __init__(self, idx: Index):
+    def __init__(self, idx: Index, lean: bool | None = None):
         self.idx = idx
         self.primary = idx.primary
         self.seq_len = idx.seq_len
         self.L2 = idx.L2.astype(np.int64)
         self.bwt = idx.bwt
-        # occ_full[p, c] = #occurrences of c in stored bwt[0:p]
-        onehot = idx.bwt[:, None] == np.arange(4, dtype=np.uint8)
-        self.occ_full = np.zeros((idx.seq_len + 1, 4), dtype=np.int64)
-        np.cumsum(onehot, axis=0, out=self.occ_full[1:])
+        # lean mode (auto for big genomes): occ from the 128-base .bwt
+        # checkpoints + an in-window count, instead of a full
+        # per-position table (16 bytes/base — 100 GB at GRCh38 scale)
+        self.lean = (idx.seq_len > (1 << 28)) if lean is None else lean
+        if not self.lean:
+            # occ_full[p, c] = #occurrences of c in stored bwt[0:p]
+            onehot = idx.bwt[:, None] == np.arange(4, dtype=np.uint8)
+            self.occ_full = np.zeros((idx.seq_len + 1, 4), dtype=np.int64)
+            np.cumsum(onehot, axis=0, out=self.occ_full[1:])
+        else:
+            self.occ_ck = idx.occ  # (n_blocks+1, 4) int64, every 128
         self.sa_samples = idx.sa_samples
         self.sa_intv = idx.sa_intv
 
     # ---- primitives ----
+
+    def _occ4_positions(self, p: np.ndarray) -> np.ndarray:
+        """Counts of each base in stored bwt[0:p] (p in [0, seq_len])."""
+        if not self.lean:
+            return self.occ_full[p]
+        blk = p >> 7
+        base = self.occ_ck[blk]
+        start = blk << 7
+        span = (p - start).astype(np.int64)          # 0..127
+        offs = np.arange(128, dtype=np.int64)[None, :]
+        win = self.bwt[np.minimum(start[:, None] + offs,
+                                  self.seq_len - 1)]
+        m = offs < span[:, None]
+        cnt = np.stack([((win == c) & m).sum(axis=1) for c in range(4)],
+                       axis=1).astype(np.int64)
+        return base + cnt
 
     def occ4(self, k: np.ndarray) -> np.ndarray:
         """Occ(k, c) for all c: counts of c in conceptual BWT rows [0, k]
         excluding the $ row. k == -1 yields 0. Shape (len(k), 4)."""
         k = np.asarray(k, dtype=np.int64)
         kk = k - (k >= self.primary)
-        res = self.occ_full[np.clip(kk + 1, 0, self.seq_len)]
+        res = self._occ4_positions(np.clip(kk + 1, 0, self.seq_len))
         return np.where((k == -1)[:, None], 0, res)
 
     def occ(self, k: np.ndarray, c: np.ndarray) -> np.ndarray:

@@ -1,0 +1,161 @@
+"""Wide (64-bit) device engine tests: the uint32-pair FM automaton and
+locate kernel (ops/fm_jax_wide.py) against the NumPy oracle.
+
+The always-on tests run on the toy index (the kernels are width-blind:
+the same pair arithmetic serves small and huge genomes). The genuine
+cross-2^31 boundary test — build a >1.07 Gbp synthetic genome so
+fwd+RC exceeds 2^31 text positions, then seed and locate across the
+boundary — is gated behind DART_TPU_BIG=1 (it needs ~40 GB RAM and
+minutes of SA-IS); tools/run_big_wide_check.py drives it and its
+recorded output is committed in tests/golden/big_wide_check.log.
+Reference equivalent: the int64 index/search types in
+/root/reference/src/structure.h:29-45 and bwt_search.cpp:127-182.
+"""
+
+import numpy as np
+import pytest
+
+from dart_tpu.ops.fm_numpy import FMIndexNumpy
+
+
+@pytest.fixture(scope="module")
+def wide(toy_index):
+    from dart_tpu.ops.fm_jax_wide import FMIndexJaxWide
+
+    return FMIndexJaxWide(toy_index, max_dup_num=100)
+
+
+@pytest.fixture(scope="module")
+def fm(toy_index):
+    return FMIndexNumpy(toy_index)
+
+
+def test_pair_arithmetic_vs_int64():
+    """Property-check the (lo, hi) uint32 pair ops against numpy int64
+    across carry/borrow boundaries."""
+    import jax
+
+    from dart_tpu.ops import fm_jax_wide as w
+
+    rng = np.random.default_rng(5)
+    interesting = np.array(
+        [0, 1, 2**31 - 1, 2**31, 2**32 - 1, 2**32, 2**32 + 1,
+         2**40, 2**62, (1 << 63) - 1], dtype=np.uint64)
+    a = np.concatenate([interesting,
+                        rng.integers(0, 1 << 63, 200, dtype=np.uint64)])
+    b = np.concatenate([interesting[::-1],
+                        rng.integers(0, 1 << 63, 200, dtype=np.uint64)])
+    alo, ahi = w._split64(a.view(np.int64))
+    blo, bhi = w._split64(b.view(np.int64))
+
+    @jax.jit
+    def run(alo, ahi, blo, bhi):
+        s = w._p_add(alo, ahi, blo, bhi)
+        d = w._p_sub(alo, ahi, blo, bhi)
+        lt = w._p_lt(alo, ahi, blo, bhi)
+        le = w._p_le(alo, ahi, blo, bhi)
+        sh = w._p_shr(alo, ahi, 7)
+        i32 = (blo & 0x7FFFFFFF).astype(np.int32) - (bhi & 1).astype(np.int32)
+        ai = w._p_add_i32(alo, ahi, i32)
+        return s, d, lt, le, sh, ai, i32
+
+    out = run(alo, ahi, blo, bhi)
+    s = w._join64(*map(np.asarray, out[0])).view(np.uint64)
+    d = w._join64(*map(np.asarray, out[1])).view(np.uint64)
+    lt = np.asarray(out[2])
+    le = np.asarray(out[3])
+    sh = w._join64(*map(np.asarray, out[4])).view(np.uint64)
+    ai = w._join64(*map(np.asarray, out[5])).view(np.uint64)
+    i32 = np.asarray(out[6])
+    np.testing.assert_array_equal(s, a + b)
+    np.testing.assert_array_equal(d, a - b)
+    np.testing.assert_array_equal(lt, a < b)
+    np.testing.assert_array_equal(le, a <= b)
+    np.testing.assert_array_equal(sh, a >> 7)
+    np.testing.assert_array_equal(
+        ai, (a.astype(np.int64) + i32).view(np.uint64))
+
+
+def _sample_reads(idx, R, L, seed, mut=0.03):
+    rng = np.random.default_rng(seed)
+    codes = np.empty((R, L), dtype=np.uint8)
+    for i in range(R):
+        p = int(rng.integers(0, idx.genome_size - L))
+        codes[i] = idx.ref_codes[p:p + L]
+    m = rng.random((R, L)) < mut
+    codes = np.where(m, rng.integers(0, 5, (R, L)).astype(np.uint8), codes)
+    return codes, np.full(R, L, dtype=np.int32)
+
+
+def test_wide_seed_scan_matches_oracle(toy_index, wide, fm):
+    """The wide automaton's seed tables must equal the all-walks oracle
+    replay (freq >= 1 rows: the wide engine has no fast-extension)."""
+    from dart_tpu.aligner import _NumpyEngine
+    from dart_tpu.pipeline.seeding import seed_reads_from_all_walks
+
+    codes, rlens = _sample_reads(toy_index, 48, 100, seed=21)
+    # mix in short/odd lengths and an all-N read
+    rlens[:6] = [17, 30, 16, 15, 99, 64]
+    codes[3] = 4
+    n_w, rp_w, ln_w, k0_w, fr_w = wide.seed_reads(codes, rlens)
+    eng = _NumpyEngine(fm, 100)
+    n_o, rp_o, ln_o, k0_o, fr_o = seed_reads_from_all_walks(
+        eng, codes, rlens, 100)
+    np.testing.assert_array_equal(n_w, n_o)
+    for r in range(len(rlens)):
+        k = int(n_o[r])
+        np.testing.assert_array_equal(rp_w[r, :k], rp_o[r, :k])
+        np.testing.assert_array_equal(ln_w[r, :k], ln_o[r, :k])
+        np.testing.assert_array_equal(k0_w[r, :k], k0_o[r, :k])
+        np.testing.assert_array_equal(fr_w[r, :k], fr_o[r, :k])
+
+
+def test_wide_locate_matches_oracle(toy_index, wide, fm):
+    rng = np.random.default_rng(9)
+    rows = rng.integers(1, toy_index.seq_len, 500, dtype=np.int64)
+    got = wide.locate(rows)
+    want = fm.locate(rows)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wide_sharded_index_matches(toy_index, fm):
+    """index-mesh sharding (GSPMD-partitioned block/SA tables) must not
+    change any result."""
+    import jax
+    from jax.sharding import Mesh
+
+    from dart_tpu.ops.fm_jax_wide import FMIndexJaxWide
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 2:
+        pytest.skip("needs multi-device CPU mesh")
+    mesh = Mesh(np.array(cpus[:2]), ("index",))
+    wide = FMIndexJaxWide(toy_index, max_dup_num=100, index_mesh=mesh)
+    codes, rlens = _sample_reads(toy_index, 16, 80, seed=33)
+    n, rp, ln, k0, fr = wide.seed_reads(codes, rlens)
+    from dart_tpu.aligner import _NumpyEngine
+    from dart_tpu.pipeline.seeding import seed_reads_from_all_walks
+
+    n_o, rp_o, ln_o, k0_o, fr_o = seed_reads_from_all_walks(
+        _NumpyEngine(fm, 100), codes, rlens, 100)
+    np.testing.assert_array_equal(n, n_o)
+    for r in range(16):
+        k = int(n_o[r])
+        np.testing.assert_array_equal(k0[r, :k], k0_o[r, :k])
+    rng = np.random.default_rng(3)
+    rows = rng.integers(1, toy_index.seq_len, 200, dtype=np.int64)
+    np.testing.assert_array_equal(wide.locate(rows), fm.locate(rows))
+
+
+def test_lean_numpy_occ_matches_full(toy_index):
+    """The checkpoint-based lean occ mode (the >2^31 oracle) must equal
+    the full-table mode."""
+    full = FMIndexNumpy(toy_index, lean=False)
+    lean = FMIndexNumpy(toy_index, lean=True)
+    rng = np.random.default_rng(17)
+    k = np.concatenate([
+        np.array([-1, 0, 1, toy_index.primary - 1, toy_index.primary,
+                  toy_index.primary + 1, toy_index.seq_len - 1],
+                 dtype=np.int64),
+        rng.integers(-1, toy_index.seq_len, 300, dtype=np.int64)])
+    np.testing.assert_array_equal(full.occ4(k), lean.occ4(k))
