@@ -107,6 +107,9 @@ class FMIndexJax:
 
     def __init__(self, idx: Index, device=None, max_dup_num: int = 100,
                  lut_k: int = 0, data_mesh=None):
+        index_shards = 1
+        tab_device = sad_device = device
+        self._walk_sh = {}
         if data_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -114,15 +117,30 @@ class FMIndexJax:
             rep = NamedSharding(data_mesh, P())
             d2 = NamedSharding(data_mesh, P("data", None))
             d1 = NamedSharding(data_mesh, P("data"))
-            self._seed_sh = dict(in_shardings=(rep, rep, rep, d2, d2, d1),
+            # an "index" mesh axis range-shards the merged gather table
+            # (and the dense SA samples) across chips; XLA GSPMD
+            # partitions every row gather with collectives, so the SAME
+            # automaton programs serve HBM-overflow genomes — no
+            # separate slow path
+            index_shards = int(dict(data_mesh.shape).get("index", 1))
+            tab_device = (NamedSharding(data_mesh, P("index", None))
+                          if index_shards > 1 else rep)
+            sad_device = (NamedSharding(data_mesh, P("index"))
+                          if index_shards > 1 else rep)
+            self._seed_sh = dict(in_shardings=(tab_device, rep, rep, d2, d2,
+                                               d1),
                                  out_shardings=d2)
-            self._loc_sh = dict(in_shardings=(rep, rep, rep, d1),
+            self._loc_sh = dict(in_shardings=(tab_device, rep, sad_device,
+                                              d1),
                                 out_shardings=d1)
+            self._walk_sh = dict(in_shardings=(tab_device, rep, d2, d2),
+                                 out_shardings=(d1, d1, d1))
             self._min_bucket = max(1024, 128 * data_mesh.devices.size)
         else:
             self._seed_sh = {}
             self._loc_sh = {}
             self._min_bucket = 1024
+        self._index_shards = index_shards
         blocks = build_device_layout(idx)
         self.L2 = jax.device_put(idx.L2.astype(np.int32), device)
         if idx.sad_samples is not None:
@@ -132,7 +150,11 @@ class FMIndexJax:
         else:
             samples_np = idx.sa_samples.astype(np.int32)
             self.sa_intv = int(idx.sa_intv)
-        self.sa_samples = jax.device_put(samples_np, device)
+        if index_shards > 1 and samples_np.shape[0] % index_shards:
+            samples_np = np.concatenate(
+                [samples_np, np.zeros((-samples_np.shape[0]) % index_shards,
+                                      np.int32)])
+        self.sa_samples = jax.device_put(samples_np, sad_device)
         self.primary = int(idx.primary)
         self.seq_len = int(idx.seq_len)
         self.max_dup_num = int(max_dup_num)
@@ -160,13 +182,19 @@ class FMIndexJax:
         sad_rows = sad_rows.view(np.uint32).reshape(n_srows, 8)
         self.ref_off = n_blocks
         self.sad_off = n_blocks + n_wrows
-        self.table = jax.device_put(
-            np.concatenate([blocks_np, ref_rows, sad_rows]), device)
+        merged = np.concatenate([blocks_np, ref_rows, sad_rows])
+        if index_shards > 1 and merged.shape[0] % index_shards:
+            # pad to a shard-divisible row count (pad rows are never
+            # gathered; offsets precede the padding)
+            merged = np.concatenate(
+                [merged, np.zeros(((-merged.shape[0]) % index_shards, 8),
+                                  np.uint32)])
+        self.table = jax.device_put(merged, tab_device)
         # every kernel indexes only rows < its own region's bound, so
         # the merged table serves as the plain block table too
         self.blocks = self.table
         self._walk_jit = jax.jit(functools.partial(
-            _mem_walks_kernel, primary=self.primary))
+            _mem_walks_kernel, primary=self.primary), **self._walk_sh)
         self._locate_jit = {}
         self._seed_jit = {}
 
