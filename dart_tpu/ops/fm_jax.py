@@ -400,45 +400,66 @@ class FMIndexJax:
                 np.asarray(x0[:W], dtype=np.int64),
                 np.asarray(x2[:W], dtype=np.int64))
 
-    def locate(self, rows: np.ndarray) -> np.ndarray:
-        """Batched SA lookups with straggler compaction: LF-walk length
-        is geometric with mean sa_intv/2 but its max over a large batch
-        is ~sa_intv*ln(batch); unfinished lanes are compacted to smaller
-        power-of-two batches and resumed rather than holding the full
-        batch width for the tail."""
+    def _locate_round(self, cur_k: np.ndarray, T: int):
+        """Dispatch one locate program (no sync); returns the device
+        array. Batch pads to the power-of-two bucket set."""
+        npad = self._pad_up(cur_k.size, self._min_bucket)
+        kp = np.zeros(npad, dtype=np.int32)
+        kp[: cur_k.size] = cur_k
+        key = (npad, T)
+        if key not in self._locate_jit:
+            self._locate_jit[key] = jax.jit(functools.partial(
+                _locate_packed, primary=self.primary,
+                sa_intv=self.sa_intv, max_iters=T), **self._loc_sh)
+        return self._locate_jit[key](self.blocks, self.L2, self.sa_samples,
+                                     jnp.asarray(kp))
+
+    def locate_submit(self, rows: np.ndarray):
+        """Dispatch the first locate round without syncing, so the
+        caller can enqueue more device work (e.g. the next chunk's
+        seed round) behind it before blocking."""
         n = rows.shape[0]
         if n == 0:
-            return np.empty(0, dtype=np.int64)
-        out = np.zeros(n, dtype=np.int64)
-        lane_ids = np.arange(n, dtype=np.int64)
+            return None
         cur_k = np.asarray(rows, dtype=np.int32)
         # walk lengths are geometric(1/intv): cap at intv*(ln n + 4) so
         # the expected straggler count is ~0 and one round suffices;
         # derived from the PADDED size so shapes stay deterministic
         T = int(self.sa_intv * (np.log(self._pad_up(n, self._min_bucket)) + 4.0)
                 / 32 + 1) * 32
+        return {"dev": self._locate_round(cur_k, T), "k": cur_k, "n": n}
+
+    def locate_finish(self, job) -> np.ndarray:
+        """Drain a locate_submit job with straggler compaction:
+        LF-walk length is geometric with mean sa_intv/2 but its max
+        over a large batch is ~sa_intv*ln(batch); unfinished lanes are
+        compacted to smaller power-of-two batches and rerun with a
+        larger cap rather than holding the full batch width for the
+        tail."""
+        if job is None:
+            return np.empty(0, dtype=np.int64)
+        n = job["n"]
+        out = np.zeros(n, dtype=np.int64)
+        lane_ids = np.arange(n, dtype=np.int64)
+        cur_k = job["k"]
+        dev = job["dev"]
         while lane_ids.size:
-            npad = self._pad_up(lane_ids.size, self._min_bucket)
-            kp = np.zeros(npad, dtype=np.int32)
-            kp[: lane_ids.size] = cur_k
-            key = (npad, T)
-            if key not in self._locate_jit:
-                self._locate_jit[key] = jax.jit(functools.partial(
-                    _locate_packed, primary=self.primary,
-                    sa_intv=self.sa_intv, max_iters=T), **self._loc_sh)
-            loc = np.asarray(self._locate_jit[key](
-                self.blocks, self.L2, self.sa_samples,
-                jnp.asarray(kp)))[: lane_ids.size]  # (npad,), one transfer
+            loc = np.asarray(dev)[: lane_ids.size]  # one transfer
             fin = loc != _LOCATE_UNFINISHED
             out[lane_ids[fin]] = loc[fin]
             live = ~fin
             if not live.any():
                 break
             # stragglers: rerun from the original row with a larger cap
+            # (deterministic straggler-round shape)
             lane_ids = lane_ids[live]
             cur_k = cur_k[live]
-            T = 512 * self.sa_intv  # deterministic straggler-round shape
+            dev = self._locate_round(cur_k, 512 * self.sa_intv)
         return out
+
+    def locate(self, rows: np.ndarray) -> np.ndarray:
+        """Batched SA lookups (submit + drain in one call)."""
+        return self.locate_finish(self.locate_submit(rows))
 
 
 def _unpack_seed_host(host, fin, S, packed_halves):

@@ -638,32 +638,45 @@ class FMIndexJaxWide:
 
     # -- locate --
 
-    def locate(self, rows: np.ndarray) -> np.ndarray:
-        """Batched SA lookups with straggler compaction (see the narrow
-        engine's docstring); int64 in/out."""
+    def _locate_round(self, cur_k: np.ndarray, T: int):
+        npad = self._pad_up(cur_k.size, self._min_bucket)
+        klo = np.zeros(npad, dtype=np.uint32)
+        khi = np.zeros(npad, dtype=np.uint32)
+        lo, hi = _split64(cur_k)
+        klo[: cur_k.size] = lo
+        khi[: cur_k.size] = hi
+        key = (npad, T)
+        if key not in self._locate_jit:
+            self._locate_jit[key] = jax.jit(functools.partial(
+                _locate_kernel_wide, primary=self.primary,
+                sa_intv=self.sa_intv, max_iters=T), **self._jit_opts)
+        return self._locate_jit[key](
+            self.blocks, self.L2lo, self.L2hi, self.sad_lo, self.sad_hi,
+            jnp.asarray(klo), jnp.asarray(khi))
+
+    def locate_submit(self, rows: np.ndarray):
+        """Dispatch the first locate round without syncing (same
+        protocol as the narrow engine)."""
         n = rows.shape[0]
         if n == 0:
-            return np.empty(0, dtype=np.int64)
-        out = np.zeros(n, dtype=np.int64)
-        lane_ids = np.arange(n, dtype=np.int64)
+            return None
         cur_k = np.asarray(rows, dtype=np.int64)
         T = int(self.sa_intv * (np.log(self._pad_up(n, self._min_bucket))
                                 + 4.0) / 32 + 1) * 32
+        return {"dev": self._locate_round(cur_k, T), "k": cur_k, "n": n}
+
+    def locate_finish(self, job) -> np.ndarray:
+        """Drain with straggler compaction (see the narrow engine's
+        docstring); int64 out."""
+        if job is None:
+            return np.empty(0, dtype=np.int64)
+        n = job["n"]
+        out = np.zeros(n, dtype=np.int64)
+        lane_ids = np.arange(n, dtype=np.int64)
+        cur_k = job["k"]
+        dev = job["dev"]
         while lane_ids.size:
-            npad = self._pad_up(lane_ids.size, self._min_bucket)
-            klo = np.zeros(npad, dtype=np.uint32)
-            khi = np.zeros(npad, dtype=np.uint32)
-            lo, hi = _split64(cur_k)
-            klo[: lane_ids.size] = lo
-            khi[: lane_ids.size] = hi
-            key = (npad, T)
-            if key not in self._locate_jit:
-                self._locate_jit[key] = jax.jit(functools.partial(
-                    _locate_kernel_wide, primary=self.primary,
-                    sa_intv=self.sa_intv, max_iters=T), **self._jit_opts)
-            res = np.asarray(self._locate_jit[key](
-                self.blocks, self.L2lo, self.L2hi, self.sad_lo, self.sad_hi,
-                jnp.asarray(klo), jnp.asarray(khi)))[: lane_ids.size]
+            res = np.asarray(dev)[: lane_ids.size]
             lo32 = res[:, 0].view(np.uint32)
             hi32 = res[:, 1].view(np.uint32)
             fin = hi32 != _UNFINISHED_HI
@@ -673,5 +686,9 @@ class FMIndexJaxWide:
                 break
             lane_ids = lane_ids[live]
             cur_k = cur_k[live]
-            T = 512 * self.sa_intv
+            dev = self._locate_round(cur_k, 512 * self.sa_intv)
         return out
+
+    def locate(self, rows: np.ndarray) -> np.ndarray:
+        """Batched SA lookups (submit + drain); int64 in/out."""
+        return self.locate_finish(self.locate_submit(rows))

@@ -108,13 +108,17 @@ def submit_chunk(engine, reads):
 def finish_chunk(engine, job, on_wait=None):
     """Phase 2: sync the device rounds and expand the per-seed tables
     into flat per-occurrence tables (see seed_occurrence_tables).
-    on_wait (optional) fires once when the device is about to be
-    waited on — the hook where the caller submits the next chunk."""
+    on_wait (optional) fires once, right after this chunk's locate
+    round has been dispatched — the point where the caller should
+    submit the NEXT chunk's first seed round. (Dispatching it earlier
+    would queue it AHEAD of this chunk's locate on the device stream
+    and delay this chunk's completion by a whole seed round.)"""
     kind, payload, n_reads = job
     if kind == "eager":
         return payload
-    n, rpos, slen, k0, freq = engine.seed_finish(payload, on_wait=on_wait)
-    return _expand_occurrences(engine, n, rpos, slen, k0, freq, n_reads)
+    n, rpos, slen, k0, freq = engine.seed_finish(payload)
+    return _expand_occurrences(engine, n, rpos, slen, k0, freq, n_reads,
+                               on_wait=on_wait)
 
 
 def seed_occurrence_tables(engine, reads):
@@ -136,7 +140,8 @@ def _seed_occurrence_tables_eager(engine, reads):
     return _expand_occurrences(engine, n, rpos, slen, k0, freq, len(reads))
 
 
-def _expand_occurrences(engine, n, rpos, slen, k0, freq, n_reads):
+def _expand_occurrences(engine, n, rpos, slen, k0, freq, n_reads,
+                        on_wait=None):
     S = rpos.shape[1]
     valid = np.arange(S)[None, :] < n[:, None]
     # freq == -1 marks a "direct" seed (fast-extension path): unique
@@ -148,6 +153,8 @@ def _expand_occurrences(engine, n, rpos, slen, k0, freq, n_reads):
     occ_off = np.zeros(n_reads + 1, dtype=np.int64)
     np.cumsum(freq_v.sum(axis=1), out=occ_off[1:])
     if total == 0:
+        if on_wait is not None:
+            on_wait()
         z = np.empty(0, dtype=np.int64)
         return occ_off, z, z, z
     starts = np.repeat(k0.ravel().astype(np.int64), occ_per_seed)
@@ -160,7 +167,16 @@ def _expand_occurrences(engine, n, rpos, slen, k0, freq, n_reads):
     occ_gpos[direct_occ] = rows[direct_occ]  # = gpos + within(0)
     nd = ~direct_occ
     if nd.any():
-        occ_gpos[nd] = engine.locate(rows[nd])
+        if hasattr(engine, "locate_submit"):
+            loc_job = engine.locate_submit(rows[nd])
+            if on_wait is not None:
+                on_wait()  # next chunk's seed round queues BEHIND this
+                on_wait = None
+            occ_gpos[nd] = engine.locate_finish(loc_job)
+        else:
+            occ_gpos[nd] = engine.locate(rows[nd])
+    if on_wait is not None:
+        on_wait()
     occ_rpos = np.repeat(rpos.ravel(), occ_per_seed)
     occ_len = np.repeat(slen.ravel(), occ_per_seed)
     return occ_off, occ_rpos, occ_len, occ_gpos

@@ -1,6 +1,18 @@
 """Pallas NW kernel vs the native/NumPy reference DP (bit-identical
-gapped strings). Runs in interpreter mode so CI needs no TPU; the same
-kernel is verified compiled on hardware by the bench harness."""
+gapped strings). Runs in interpreter mode so CI needs no TPU.
+
+Status of the kernel (measured 2026-08-16): it is NOT on the
+production hot path, by benchmark. The gap-closing DPs
+(best_gapped_partition's two per intron gap plus the seed-pair fills,
+native/pipeline.cpp:437-512,840-895) cost 5-93 us/call in host C++
+(20x20..96x96, see the micro-bench in the repo log), totalling well
+under the ~0.2 s/100k-read native finalize stage — while one
+host<->device round trip on this TPU relay costs ~35 ms each way
+before kernel time. Batching the chunk's DPs through the device would
+spend more on transport than the entire host stage costs, so the host
+DP wins on this transport; the Pallas kernel is kept as the TPU-native
+implementation (and correctness twin) for transports where the device
+is local."""
 
 import random
 
