@@ -5,14 +5,23 @@
 // NumPy strided loops on the hot path (the relay host has one core;
 // every ms of host work is wall time).
 //
-// Layout contract (must match ops/fm_jax.py seed_reads):
-// - packed2[r][w] bits [31-2j, 30-2j] hold min(code, 3) of base 16w+j.
+// Layout contract (must match ops/fm_jax.py seed_submit_blob):
+// - packed[r*ps + w] bits [31-2j, 30-2j] hold min(code, 3) of base
+//   16w+j of read r.
 // - positions past the read's length pack as code 3 with NO mask bit:
 //   every kernel read past rlen is guarded (`cur < rlens`), and the
 //   seed scan never initializes within 13 bases of the end.
-// - nmask[r][w] bit (31-j) set iff base 32w+j is ambiguous (code > 3),
-//   only within the read. Return value says whether any bit was set,
-//   so fully-ACGT chunks can skip the nmask transfer entirely.
+// - nmask[r*ns + w] bit (31-j) set iff base 32w+j is ambiguous
+//   (code > 3), only within the read.
+// - rlens[r*rs] = read length (int32).
+// - has_n[r] = 1 iff read r contains any ambiguous base — the caller
+//   reroutes such (rare) reads through the masked rerun round instead
+//   of shipping a full mask with the bulk transfer.
+//
+// All three destinations take an element stride so the caller can lay
+// them out as columns of ONE merged transfer buffer (the relay charges
+// a flat ~35 ms latency per host->device array, so one buffer per
+// crossing) or as separate arrays.
 //
 // Nucleotide codes mirror /root/reference/src/BWT_Index/bntseq.c:40-57
 // (A=0 C=1 G=2 T=3, case-insensitive, everything else ambiguous).
@@ -39,26 +48,21 @@ const Nt4 NT4;
 
 extern "C" {
 
-// seq_blob/seq_off: concatenated reads, offsets (n_reads+1).
-// packed2: (rows_padded, words) uint32, zero-initialized by the caller
-//   (pad rows beyond n_reads stay zero; their rlen of 0 marks them done
-//   before the first automaton iteration).
-// nmask: (rows_padded, words/2) uint32, zero-initialized.
-// rlens: (rows_padded) int32, zero-initialized.
-// words: padded read length / 16 (padded length is a multiple of 32).
-// Returns 1 if any ambiguous base was masked, else 0.
+// Returns the number of reads containing at least one ambiguous base.
 int32_t dart_pack_reads(const uint8_t* seq_blob, const int64_t* seq_off,
                         int32_t n_reads, int32_t words,
-                        uint32_t* packed2, uint32_t* nmask,
-                        int32_t* rlens) {
-  const int32_t lp = words * 16;
-  int32_t any_n = 0;
+                        uint32_t* packed, int64_t packed_stride,
+                        uint32_t* nmask, int64_t nmask_stride,
+                        int32_t* rlens, int64_t rlens_stride,
+                        uint8_t* has_n) {
+  int32_t n_with_n = 0;
   for (int32_t r = 0; r < n_reads; ++r) {
     const uint8_t* s = seq_blob + seq_off[r];
     const int32_t len = (int32_t)(seq_off[r + 1] - seq_off[r]);
-    rlens[r] = len;
-    uint32_t* row = packed2 + (size_t)r * (size_t)words;
-    uint32_t* nrow = nmask + (size_t)r * (size_t)(words / 2);
+    rlens[(size_t)r * rlens_stride] = len;
+    uint32_t* row = packed + (size_t)r * packed_stride;
+    uint32_t* nrow = nmask + (size_t)r * nmask_stride;
+    uint8_t any = 0;
     int32_t j = 0;
     for (int32_t w = 0; w < words; ++w) {
       uint32_t acc = 0;
@@ -68,7 +72,7 @@ int32_t dart_pack_reads(const uint8_t* seq_blob, const int64_t* seq_off,
           acc |= (uint32_t)(c < 4 ? c : 3) << (2 * (15 - k));
           if (c > 3) {
             nrow[(j + k) >> 5] |= 0x80000000u >> ((j + k) & 31);
-            any_n = 1;
+            any = 1;
           }
         }
       } else {
@@ -79,7 +83,7 @@ int32_t dart_pack_reads(const uint8_t* seq_blob, const int64_t* seq_off,
             acc |= (uint32_t)(c < 4 ? c : 3) << (2 * (15 - k));
             if (c > 3) {
               nrow[p >> 5] |= 0x80000000u >> (p & 31);
-              any_n = 1;
+              any = 1;
             }
           } else {
             acc |= 3u << (2 * (15 - k));  // pad packs as code 3
@@ -89,9 +93,10 @@ int32_t dart_pack_reads(const uint8_t* seq_blob, const int64_t* seq_off,
       row[w] = acc;
       j += 16;
     }
-    (void)lp;
+    has_n[r] = any;
+    n_with_n += any;
   }
-  return any_n;
+  return n_with_n;
 }
 
 }  // extern "C"

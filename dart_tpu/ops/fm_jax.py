@@ -127,8 +127,7 @@ class FMIndexJax:
                           if index_shards > 1 else rep)
             sad_device = (NamedSharding(data_mesh, P("index"))
                           if index_shards > 1 else rep)
-            self._seed_sh = dict(in_shardings=(tab_device, rep, rep, d2, d2,
-                                               d1),
+            self._seed_sh = dict(in_shardings=(tab_device, rep, rep, d2),
                                  out_shardings=d2)
             self._loc_sh = dict(in_shardings=(tab_device, rep, sad_device,
                                               d1),
@@ -218,6 +217,7 @@ class FMIndexJax:
         if L >= 65536:
             raise ValueError("reads must be shorter than 65536 bases")
         Lp = max(32, -(-L // 32) * 32)
+        words = Lp // 16
         Rp = self._pad_up(R, self._min_bucket)
         rl = np.zeros(Rp, dtype=np.int32)
         rl[:R] = np.asarray(rlens, dtype=np.int32)
@@ -229,17 +229,18 @@ class FMIndexJax:
         cp[:R, :L] = codes
         in_read = np.arange(Lp, dtype=np.int32)[None, :] < rl[:, None]
         c2 = np.where(in_read, np.minimum(cp, 3), 3).astype(np.uint32)
-        packed2 = np.zeros((Rp, Lp // 16), dtype=np.uint32)
-        nmask = np.zeros((Rp, Lp // 32), dtype=np.uint32)
+        buf = np.zeros((Rp, words + 1), dtype=np.uint32)
+        nmask = np.zeros((Rp, words // 2), dtype=np.uint32)
         for k in range(16):
-            packed2 |= c2[:, k::16] << np.uint32(2 * (15 - k))
+            buf[:, :words] |= c2[:, k::16] << np.uint32(2 * (15 - k))
+        buf[:, words] = rl.view(np.uint32)
         isn = (cp > 3) & in_read
-        has_n = bool(isn.any())
-        if has_n:
+        has_n = isn.any(axis=1)
+        if has_n.any():
             for k in range(32):
                 nmask |= isn[:, k::32].astype(np.uint32) << np.uint32(31 - k)
-        return self.seed_finish(self.seed_submit(
-            packed2, nmask if has_n else None, rl, R, Lp,
+        return self.seed_finish(self.seed_submit_packed(
+            buf, nmask, has_n.astype(np.uint8), int(has_n.sum()), R, Lp,
             int(rl[:R].max()) if R else 1))
 
     @staticmethod
@@ -252,19 +253,35 @@ class FMIndexJax:
         s = max(1, (max_rlen - 14) // 16 + 1)
         return min(Lp // 16, s + (s & 1))
 
-    def seed_submit(self, packed2, nmask, rl, nlive: int, Lp: int,
-                    max_rlen: int):
+    def seed_submit_packed(self, buf, nmask, has_n, n_with_n: int,
+                           nlive: int, Lp: int, max_rlen: int):
         """Dispatch the first (full-width) seed-scan round without
         syncing, so the caller can overlap the device pass with host
-        work on other chunks. packed2 (Rp, Lp/16) / rl (Rp,) are padded
-        to a power-of-two row bucket; nmask is None for all-ACGT chunks
-        (a distinct compiled program that skips the mask transfer and
-        decode entirely)."""
+        work on other chunks.
+
+        buf is the single merged transfer buffer (Rp, Lp/16 + 1):
+        [2-bit packed codes | rlen], padded to a power-of-two row
+        bucket — ONE host->device array per round (the relay charges a
+        flat ~35 ms latency per array). The N-exception mask stays on
+        the host: ambiguous bases are rare in real data, so reads
+        containing any (has_n, count n_with_n) are simply marked live
+        after round 1 — their round-1 results are valid for the
+        N->code-3 substituted read, i.e. wrong, and are discarded —
+        and rerouted through the straggler rerun round, whose merged
+        buffer carries the mask columns inline. Only when a chunk is
+        mask-HEAVY does round 1 ship the mask inline instead."""
+        Rp = buf.shape[0]
         S = self.seed_slots(Lp, max_rlen)
-        dev = self.submit_seed_round(packed2, nmask, rl, packed2.shape[0],
-                                     Lp, 128, S)
-        return {"dev": dev, "packed2": packed2, "nmask": nmask, "rl": rl,
-                "nlive": nlive, "Lp": Lp, "S": S}
+        words = Lp // 16
+        masked = n_with_n > max(1024, nlive // 16)
+        if masked:
+            buf = np.concatenate(
+                [buf[:, :words], nmask, buf[:, words:]], axis=1)
+        dev = self.submit_seed_round(buf, Rp, Lp, 128, S,
+                                     use_nmask=masked)
+        return {"dev": dev, "buf": buf, "nmask": None if masked else nmask,
+                "has_n": None if masked or not n_with_n else has_n,
+                "masked": masked, "nlive": nlive, "Lp": Lp, "S": S}
 
     def seed_finish(self, job, on_wait=None):
         """Sync the submitted round, then rerun straggler lanes
@@ -278,8 +295,9 @@ class FMIndexJax:
         this call is about to block on the device — after the last
         round this thread can dispatch without new results — so the
         caller can enqueue the NEXT chunk's first round behind it."""
-        packed2, nmask, rl = job["packed2"], job["nmask"], job["rl"]
+        buf, nmask, has_n = job["buf"], job["nmask"], job["has_n"]
         R, Lp, S = job["nlive"], job["Lp"], job["S"]
+        words = Lp // 16
         packed_halves = (Lp < 256 and self.max_dup_num <= 32766
                          and S % 2 == 0)
         n_out = np.zeros(R, dtype=np.int32)
@@ -288,7 +306,7 @@ class FMIndexJax:
         k0_out = np.zeros((R, S), dtype=np.int32)
         freq_out = np.zeros((R, S), dtype=np.int32)
         lane_ids = np.arange(R, dtype=np.int64)
-        first_Rp = packed2.shape[0]
+        first_Rp = buf.shape[0]
         # rerun cap covers the worst case (a maximally repetitive read
         # rescans O(L^2/2) characters); loops exit early when all done
         T_rerun = max(2048, Lp * Lp // 2)
@@ -301,6 +319,11 @@ class FMIndexJax:
             nlive = lane_ids.size
             host = np.asarray(dev)[:nlive]  # one d2h
             done = (host[:, 0] & 1) != 0
+            if rounds == 1 and has_n is not None:
+                # N-containing reads ran round 1 with their ambiguous
+                # bases substituted (mask not shipped): discard those
+                # results and reroute the reads to the masked rerun
+                done &= has_n[lane_ids] == 0
             fin = np.nonzero(done)[0]
             ids = lane_ids[fin]
             n_out[ids] = host[fin, 0] >> 1
@@ -313,22 +336,26 @@ class FMIndexJax:
             if live.size == 0:
                 break
             lane_ids = lane_ids[live]
-            # straggler round: gather live rows, pad to a fixed bucket
+            # straggler round: gather live rows, pad to a fixed bucket.
+            # Rerun buffers ALWAYS carry the mask columns inline
+            # ([packed | nmask | rlen]) — one program variant, and the
+            # masked rows are exactly why most N-reads land here
             if lane_ids.size <= self._min_bucket:
                 Rp = self._min_bucket
             else:
                 Rp = (max(4096, self._min_bucket)
                       if lane_ids.size <= max(4096, self._min_bucket)
                       else first_Rp)
-            p2 = np.zeros((Rp, packed2.shape[1]), dtype=np.uint32)
-            p2[:lane_ids.size] = packed2[lane_ids]
-            nm = None
-            if nmask is not None:
-                nm = np.zeros((Rp, nmask.shape[1]), dtype=np.uint32)
-                nm[:lane_ids.size] = nmask[lane_ids]
-            rl2 = np.zeros(Rp, dtype=np.int32)
-            rl2[:lane_ids.size] = rl[lane_ids]
-            dev = self.submit_seed_round(p2, nm, rl2, Rp, Lp, T_rerun, S)
+            rb = np.zeros((Rp, words + words // 2 + 1), dtype=np.uint32)
+            if job["masked"]:
+                rb[:lane_ids.size] = buf[lane_ids]
+            else:
+                rb[:lane_ids.size, :words] = buf[lane_ids, :words]
+                rb[:lane_ids.size, words:words + words // 2] = \
+                    nmask[lane_ids]
+                rb[:lane_ids.size, -1] = buf[lane_ids, words]
+            dev = self.submit_seed_round(rb, Rp, Lp, T_rerun, S,
+                                         use_nmask=True)
             if on_wait is not None:
                 # straggler round is in flight: let the caller enqueue
                 # the next chunk's first round behind it now
@@ -339,14 +366,13 @@ class FMIndexJax:
         return (n_out, rpos_out, len_out,
                 k0_out.astype(np.int64), freq_out)
 
-    def submit_seed_round(self, packed2, nmask, rl, Rp, Lp, T, S=None):
+    def submit_seed_round(self, buf, Rp, Lp, T, S=None, use_nmask=False):
         """Dispatch one seed-scan program without syncing (async relay
-        round). nmask None selects the all-ACGT program variant: no
-        mask transfer, no mask decode (a (1, 1) placeholder rides along
-        to keep the jit signature uniform). S is the seed-slot count
-        (default: the Lp-derived worst case; callers pass the tighter
-        max-rlen bound to shrink the result transfer). Returns the
-        device array."""
+        round). buf is the single merged transfer buffer:
+        [packed codes | nmask columns if use_nmask | rlen] — ONE
+        host->device array. S is the seed-slot count (default: the
+        Lp-derived worst case; callers pass the tighter max-rlen bound
+        to shrink the result transfer). Returns the device array."""
         if S is None:
             S = Lp // 16
         if self.lut_k and self._lut is None:
@@ -356,11 +382,6 @@ class FMIndexJax:
             # inside the kernel
             self._lut = build_lut(self.table, self.L2, self.primary,
                                   self.lut_k)
-        if nmask is None and self._seed_sh:
-            # mesh mode shards the mask batch-wise; a (1, 1) placeholder
-            # can't carry that sharding — ship explicit zeros instead
-            nmask = np.zeros((Rp, Lp // 32), dtype=np.uint32)
-        use_nmask = nmask is not None
         key = (Rp, Lp, T, use_nmask, S)
         if key not in self._seed_jit:
             self._seed_jit[key] = jax.jit(functools.partial(
@@ -371,11 +392,8 @@ class FMIndexJax:
                 sa_intv=self.sa_intv, seq_len=self.seq_len,
                 use_nmask=use_nmask),
                 **self._seed_sh)
-        if not use_nmask:
-            nmask = np.zeros((1, 1), dtype=np.uint32)
-        return self._seed_jit[key](
-            self.table, self.L2, self._lut, jnp.asarray(packed2),
-            jnp.asarray(nmask), jnp.asarray(rl))
+        return self._seed_jit[key](self.table, self.L2, self._lut,
+                                   jnp.asarray(buf))
 
     @staticmethod
     def _pad_up(n: int, floor: int = 4096) -> int:
@@ -615,26 +633,33 @@ def _mem_walks_kernel(blocks, L2, chars, valid, *, primary):
     return lens, x0, x2
 
 
-def _seed_scan_packed(table, L2, lut, codes2, nmask, rlens, *, primary,
+def _seed_scan_packed(table, L2, lut, buf, *, primary,
                       max_dup, max_seeds, max_iters, read_len, lut_k=0,
                       ref_off=0, sad_off=0, sa_intv=0, seq_len=0,
                       use_nmask=True):
-    """Transfer-minimal wrapper: codes arrive 2-bit packed (16/word,
-    top-first) with an N-exception bitmask (omitted for all-ACGT
-    chunks: every read past rlen is guarded in the kernel, so the mask
-    only matters for genuinely ambiguous bases), and the result leaves
-    as one packed int32 buffer —
+    """Transfer-minimal wrapper: ONE merged uint32 input buffer
+    [2-bit packed codes (16/word, top-first) | N-exception bitmask
+    columns iff use_nmask | rlen] — the relay charges a flat latency
+    per host->device array, so everything crosses in a single one —
+    and the result leaves as one packed int32 buffer —
     [done|nseeds<<1, (rpos, len) x S, k0_or_gpos x S, freq x S]
     (freq == -1 marks a direct seed whose k0 slot holds the genome
-    position itself; see the fast-extension path)."""
+    position itself; see the fast-extension path). The mask is omitted
+    for rounds whose reads are all unambiguous: positions past rlen
+    are rlen-guarded in the kernel, so the mask only matters for
+    genuinely ambiguous bases (rare; rerouted to masked rerun rounds)."""
     S = max_seeds
-    R = codes2.shape[0]
+    R = buf.shape[0]
+    words = read_len // 16
+    codes2 = buf[:, :words]
+    rlens = jax.lax.bitcast_convert_type(buf[:, -1], jnp.int32)
     parts = []
     for k in range(16):
         parts.append(((codes2 >> jnp.uint32(2 * (15 - k))) & 3)
                      .astype(jnp.uint8))
     codes = jnp.stack(parts, axis=2).reshape(R, read_len)
     if use_nmask:
+        nmask = buf[:, words:words + words // 2]
         nparts = []
         for k in range(32):
             nparts.append(((nmask >> jnp.uint32(31 - k)) & 1)

@@ -355,20 +355,25 @@ def _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens, *, primary,
     return done, nseeds, out_rpos, out_len, out_k0lo, out_k0hi, out_freq
 
 
-def _seed_scan_packed_wide(blocks, L2lo, L2hi, codes2, nmask, rlens, *,
+def _seed_scan_packed_wide(blocks, L2lo, L2hi, buf, *,
                            primary, max_dup, max_seeds, max_iters,
                            read_len, use_nmask=True):
     """Transfer-minimal wrapper (see narrow _seed_scan_packed): one
-    packed int32 result buffer [done|nseeds<<1, (rpos<<16|len) x S,
-    k0_lo x S, k0_hi x S, freq x S]."""
+    merged uint32 input buffer [packed codes | nmask iff use_nmask |
+    rlen]; one packed int32 result buffer [done|nseeds<<1,
+    (rpos<<16|len) x S, k0_lo x S, k0_hi x S, freq x S]."""
     S = max_seeds
-    R = codes2.shape[0]
+    R = buf.shape[0]
+    words = read_len // 16
+    codes2 = buf[:, :words]
+    rlens = jax.lax.bitcast_convert_type(buf[:, -1], jnp.int32)
     parts = []
     for k in range(16):
         parts.append(((codes2 >> jnp.uint32(2 * (15 - k))) & 3)
                      .astype(jnp.uint8))
     codes = jnp.stack(parts, axis=2).reshape(R, read_len)
     if use_nmask:
+        nmask = buf[:, words:words + words // 2]
         nparts = []
         for k in range(32):
             nparts.append(((nmask >> jnp.uint32(31 - k)) & 1)
@@ -460,7 +465,7 @@ def _locate_kernel_wide(blocks, L2lo, L2hi, sad_lo, sad_hi, k_lo, k_hi, *,
 
 class FMIndexJaxWide:
     """64-bit device engine; engine API-compatible with FMIndexJax
-    (seed_submit/seed_finish/seed_reads/locate) so the whole aligner
+    (seed_submit_packed/seed_finish/seed_reads/locate) so the whole aligner
     pipeline runs unchanged on GRCh38-scale genomes. Pass index_mesh
     (a Mesh with an "index" axis) to range-shard the block/SA tables
     over multiple chips when the index exceeds one chip's HBM."""
@@ -528,40 +533,47 @@ class FMIndexJaxWide:
         s = max(1, (max_rlen - 14) // 16 + 1)
         return min(Lp // 16, s + (s & 1))
 
-    def submit_seed_round(self, packed2, nmask, rl, Rp, Lp, T, S=None):
+    def submit_seed_round(self, buf, Rp, Lp, T, S=None, use_nmask=False):
+        """One merged-buffer dispatch (see the narrow engine)."""
         if S is None:
             S = Lp // 16
-        use_nmask = nmask is not None
         key = (Rp, Lp, T, use_nmask, S)
         if key not in self._seed_jit:
             self._seed_jit[key] = jax.jit(functools.partial(
                 _seed_scan_packed_wide, primary=self.primary,
                 max_dup=self.max_dup_num, max_seeds=S, max_iters=T,
                 read_len=Lp, use_nmask=use_nmask), **self._jit_opts)
-        if not use_nmask:
-            nmask = np.zeros((1, 1), dtype=np.uint32)
-        return self._seed_jit[key](
-            self.blocks, self.L2lo, self.L2hi, jnp.asarray(packed2),
-            jnp.asarray(nmask), jnp.asarray(rl))
+        return self._seed_jit[key](self.blocks, self.L2lo, self.L2hi,
+                                   jnp.asarray(buf))
 
-    def seed_submit(self, packed2, nmask, rl, nlive: int, Lp: int,
-                    max_rlen: int):
+    def seed_submit_packed(self, buf, nmask, has_n, n_with_n: int,
+                           nlive: int, Lp: int, max_rlen: int):
+        """Same protocol and N-reroute policy as the narrow engine's
+        seed_submit_packed."""
+        Rp = buf.shape[0]
         S = self.seed_slots(Lp, max_rlen)
-        dev = self.submit_seed_round(packed2, nmask, rl, packed2.shape[0],
-                                     Lp, 128, S)
-        return {"dev": dev, "packed2": packed2, "nmask": nmask, "rl": rl,
-                "nlive": nlive, "Lp": Lp, "S": S}
+        words = Lp // 16
+        masked = n_with_n > max(1024, nlive // 16)
+        if masked:
+            buf = np.concatenate(
+                [buf[:, :words], nmask, buf[:, words:]], axis=1)
+        dev = self.submit_seed_round(buf, Rp, Lp, 128, S,
+                                     use_nmask=masked)
+        return {"dev": dev, "buf": buf, "nmask": None if masked else nmask,
+                "has_n": None if masked or not n_with_n else has_n,
+                "masked": masked, "nlive": nlive, "Lp": Lp, "S": S}
 
     def seed_finish(self, job, on_wait=None):
-        packed2, nmask, rl = job["packed2"], job["nmask"], job["rl"]
+        buf, nmask, has_n = job["buf"], job["nmask"], job["has_n"]
         R, Lp, S = job["nlive"], job["Lp"], job["S"]
+        words = Lp // 16
         n_out = np.zeros(R, dtype=np.int32)
         rpos_out = np.zeros((R, S), dtype=np.int32)
         len_out = np.zeros((R, S), dtype=np.int32)
         k0_out = np.zeros((R, S), dtype=np.int64)
         freq_out = np.zeros((R, S), dtype=np.int32)
         lane_ids = np.arange(R, dtype=np.int64)
-        first_Rp = packed2.shape[0]
+        first_Rp = buf.shape[0]
         T_rerun = max(2048, Lp * Lp // 2)
         dev = job["dev"]
         rounds = 0
@@ -572,6 +584,10 @@ class FMIndexJaxWide:
             nlive = lane_ids.size
             host = np.asarray(dev)[:nlive]
             done = (host[:, 0] & 1) != 0
+            if rounds == 1 and has_n is not None:
+                # reroute N-containing reads to the masked rerun (their
+                # round-1 results used substituted codes)
+                done &= has_n[lane_ids] == 0
             fin = np.nonzero(done)[0]
             ids = lane_ids[fin]
             n_out[ids] = host[fin, 0] >> 1
@@ -592,15 +608,16 @@ class FMIndexJaxWide:
                 Rp = (max(4096, self._min_bucket)
                       if lane_ids.size <= max(4096, self._min_bucket)
                       else first_Rp)
-            p2 = np.zeros((Rp, packed2.shape[1]), dtype=np.uint32)
-            p2[:lane_ids.size] = packed2[lane_ids]
-            nm = None
-            if nmask is not None:
-                nm = np.zeros((Rp, nmask.shape[1]), dtype=np.uint32)
-                nm[:lane_ids.size] = nmask[lane_ids]
-            rl2 = np.zeros(Rp, dtype=np.int32)
-            rl2[:lane_ids.size] = rl[lane_ids]
-            dev = self.submit_seed_round(p2, nm, rl2, Rp, Lp, T_rerun, S)
+            rb = np.zeros((Rp, words + words // 2 + 1), dtype=np.uint32)
+            if job["masked"]:
+                rb[:lane_ids.size] = buf[lane_ids]
+            else:
+                rb[:lane_ids.size, :words] = buf[lane_ids, :words]
+                rb[:lane_ids.size, words:words + words // 2] = \
+                    nmask[lane_ids]
+                rb[:lane_ids.size, -1] = buf[lane_ids, words]
+            dev = self.submit_seed_round(rb, Rp, Lp, T_rerun, S,
+                                         use_nmask=True)
             if on_wait is not None:
                 on_wait()
                 on_wait = None
@@ -616,6 +633,7 @@ class FMIndexJaxWide:
         if L >= 65536:
             raise ValueError("reads must be shorter than 65536 bases")
         Lp = max(32, -(-L // 32) * 32)
+        words = Lp // 16
         Rp = self._pad_up(R, self._min_bucket)
         rl = np.zeros(Rp, dtype=np.int32)
         rl[:R] = np.asarray(rlens, dtype=np.int32)
@@ -623,17 +641,18 @@ class FMIndexJaxWide:
         cp[:R, :L] = codes
         in_read = np.arange(Lp, dtype=np.int32)[None, :] < rl[:, None]
         c2 = np.where(in_read, np.minimum(cp, 3), 3).astype(np.uint32)
-        packed2 = np.zeros((Rp, Lp // 16), dtype=np.uint32)
-        nmask = np.zeros((Rp, Lp // 32), dtype=np.uint32)
+        buf = np.zeros((Rp, words + 1), dtype=np.uint32)
+        nmask = np.zeros((Rp, words // 2), dtype=np.uint32)
         for k in range(16):
-            packed2 |= c2[:, k::16] << np.uint32(2 * (15 - k))
+            buf[:, :words] |= c2[:, k::16] << np.uint32(2 * (15 - k))
+        buf[:, words] = rl.view(np.uint32)
         isn = (cp > 3) & in_read
-        has_n = bool(isn.any())
-        if has_n:
+        has_n = isn.any(axis=1)
+        if has_n.any():
             for k in range(32):
                 nmask |= isn[:, k::32].astype(np.uint32) << np.uint32(31 - k)
-        return self.seed_finish(self.seed_submit(
-            packed2, nmask if has_n else None, rl, R, Lp,
+        return self.seed_finish(self.seed_submit_packed(
+            buf, nmask, has_n.astype(np.uint8), int(has_n.sum()), R, Lp,
             int(rl[:R].max()) if R else 1))
 
     # -- locate --

@@ -48,7 +48,7 @@ class ShardedFMIndex(FMIndexJax):
     """The full device engine over a ("data", "index") mesh: read
     batches GSPMD-shard over "data", the gather table over "index"
     (see module docstring). Drop-in engine API: seed_reads /
-    seed_submit / seed_finish / mem_walks / locate take and return
+    seed_submit_packed / seed_finish / mem_walks / locate take and return
     host NumPy arrays; device placement and collectives are internal.
     """
 

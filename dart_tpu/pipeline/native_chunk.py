@@ -64,11 +64,14 @@ def available() -> bool:
 _PACK_FN = None
 
 
-def pack_reads(seq_blob, seq_off, n_reads: int, rows_padded: int,
-               words: int):
-    """Native chunk pack: ASCII blob -> (packed2, nmask, rlens, has_n)
-    in the device transfer layout (see native/pack.cpp for the
-    contract). Returns None when the native library is unavailable."""
+def pack_reads_strided(seq_blob, seq_off, n_reads: int, words: int,
+                       packed: np.ndarray, nmask: np.ndarray,
+                       rlens: np.ndarray, has_n: np.ndarray) -> int | None:
+    """Native chunk pack into caller-laid-out destinations (each a
+    2-D/1-D uint32|int32 view whose row stride carries the layout —
+    e.g. columns of one merged transfer buffer; see native/pack.cpp).
+    Returns the count of reads containing ambiguous bases, or None
+    when the native library is unavailable."""
     global _PACK_FN
     if _PACK_FN is None:
         lib = native_build.load()
@@ -80,24 +83,29 @@ def pack_reads(seq_blob, seq_off, n_reads: int, rows_padded: int,
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int32, ctypes.c_int32,
-                ctypes.POINTER(ctypes.c_uint32),
-                ctypes.POINTER(ctypes.c_uint32),
-                ctypes.POINTER(ctypes.c_int32)]
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8)]
             _PACK_FN = lib.dart_pack_reads
     if _PACK_FN is False:
         return None
     blob = np.frombuffer(seq_blob, dtype=np.uint8)
     off = _i64(seq_off)
-    packed2 = np.zeros((rows_padded, words), dtype=np.uint32)
-    nmask = np.zeros((rows_padded, words // 2), dtype=np.uint32)
-    rlens = np.zeros(rows_padded, dtype=np.int32)
-    has_n = _PACK_FN(
+
+    def stride(a):
+        return a.strides[0] // 4
+
+    return _PACK_FN(
         _ptr(blob, ctypes.c_uint8), _ptr(off, ctypes.c_int64),
         int(n_reads), int(words),
-        packed2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        stride(packed),
         nmask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        _ptr(rlens, ctypes.c_int32))
-    return packed2, nmask, rlens, bool(has_n)
+        stride(nmask),
+        rlens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        stride(rlens),
+        has_n.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
 
 
 def _i64(a):

@@ -84,21 +84,28 @@ def submit_chunk(engine, reads):
     host work on the previous chunk (the aligner analogue of the
     reference's producer/consumer pool, with the relay's dispatch
     queue as the buffer). Returns an opaque job for finish_chunk."""
-    if hasattr(engine, "seed_submit") and hasattr(reads, "seq_blob"):
+    if hasattr(engine, "seed_submit_packed") and hasattr(reads, "seq_blob"):
         lens = np.diff(reads.seq_off)
         L = int(lens.max()) if len(reads) else 1
         if L < 65536:
-            from .native_chunk import pack_reads
+            from .native_chunk import pack_reads_strided
 
             Lp = max(32, -(-L // 32) * 32)
+            words = Lp // 16
             Rp = engine._pad_up(len(reads), engine._min_bucket)
-            packed = pack_reads(reads.seq_blob, reads.seq_off,
-                                len(reads), Rp, Lp // 16)
-            if packed is not None:
-                packed2, nmask, rlens, has_n = packed
-                job = engine.seed_submit(
-                    packed2, nmask if has_n else None, rlens,
-                    len(reads), Lp, L)
+            # ONE merged transfer buffer [packed codes | rlen]; the
+            # N-mask stays host-side (rare reads reroute to the masked
+            # rerun round — see seed_submit_packed)
+            buf = np.zeros((Rp, words + 1), dtype=np.uint32)
+            nmask = np.zeros((Rp, words // 2), dtype=np.uint32)
+            has_n = np.zeros(Rp, dtype=np.uint8)
+            n_with_n = pack_reads_strided(
+                reads.seq_blob, reads.seq_off, len(reads), words,
+                buf[:, :words], nmask, buf.view(np.int32)[:, words],
+                has_n)
+            if n_with_n is not None:
+                job = engine.seed_submit_packed(
+                    buf, nmask, has_n, n_with_n, len(reads), Lp, L)
                 return ("seed_job", job, len(reads))
     # generic path (NumPy engine, ReadItem chunks, very long reads, or
     # no native library): compute everything eagerly
