@@ -260,7 +260,7 @@ class DartAligner:
             lines.append(f"@SQ\tSN:{c.name}\tLN:{c.length}")
         return lines
 
-    # ---- checkpoint/resume (SAM output only) ----
+    # ---- checkpoint/resume ----
 
     def _ckpt_path(self) -> str:
         return self.cfg.output_file + ".ckpt"
@@ -298,6 +298,7 @@ class DartAligner:
         state = {"file_idx": file_idx, "chunks": chunks,
                  "sam_bytes": sam_bytes, "counters": self.counters,
                  "batch_reads": self.cfg.batch_reads,
+                 "output_format": self.cfg.output_format,
                  "reader": reader_kind,
                  "sj": [[g1, g2, v[0], v[1]] for (g1, g2), v in
                         sorted(self._merged_sj().items())]}
@@ -316,6 +317,8 @@ class DartAligner:
             state = json.load(f)
         if state.get("batch_reads") != self.cfg.batch_reads:
             return None  # chunk boundaries would not line up
+        if state.get("output_format", 0) != self.cfg.output_format:
+            return None  # SAM checkpoint cannot resume a BAM run etc.
         if not os.path.exists(self.cfg.output_file):
             return None  # partial output vanished: restart cleanly
         fi = state.get("file_idx", 0)
@@ -342,18 +345,26 @@ class DartAligner:
         own = False
         writer = None
         resume = None
-        if cfg.checkpoint and cfg.output_format == 0 and out_stream is None:
+        if cfg.checkpoint and out_stream is None:
             resume = self._ckpt_load()
         if resume is not None:
             self.counters.update(resume["counters"])
             for g1, g2, t, c in resume["sj"]:
                 self.sj_map[(g1, g2)] = [t, c]
             # truncate any partial chunk written after the checkpoint
-            with open(cfg.output_file, "r+") as f:
+            # (for BAM the recorded offset is a BGZF block boundary, so
+            # truncate + append yields a valid stream)
+            with open(cfg.output_file, "r+b") as f:
                 f.truncate(resume["sam_bytes"])
-            out_stream = open(cfg.output_file, "a")
+            if cfg.output_format == 1:
+                from .io.bam import BamWriter
+
+                writer = BamWriter(cfg.output_file, append=True)
+                writer.write_header(self.header_lines())  # ref map only
+            else:
+                out_stream = open(cfg.output_file, "a")
             own = True
-        if out_stream is None:
+        if out_stream is None and writer is None:
             if cfg.output_format == 1:
                 from .io.bam import BamWriter
 
@@ -418,10 +429,13 @@ class DartAligner:
                           f"in {int(time.time() - start)} seconds...",
                           end="", file=sys.stderr)
                 nonlocal_state["chunks"] += 1
-                if cfg.checkpoint and writer is None:
-                    out_stream.flush()
-                    self._ckpt_save(_fi, nonlocal_state["chunks"],
-                                    out_stream.tell(),
+                if cfg.checkpoint:
+                    if writer is not None:
+                        off = writer.flush_boundary()
+                    else:
+                        out_stream.flush()
+                        off = out_stream.tell()
+                    self._ckpt_save(_fi, nonlocal_state["chunks"], off,
                                     type(reader).__name__)
 
             nonlocal_state = {"chunks": chunks_done}

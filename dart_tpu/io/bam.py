@@ -22,8 +22,8 @@ BGZF_EOF = bytes.fromhex(
 class BgzfWriter:
     MAX_BLOCK = 65280
 
-    def __init__(self, path: str):
-        self.fh = open(path, "wb")
+    def __init__(self, path: str, append: bool = False):
+        self.fh = open(path, "ab" if append else "wb")
         self.buf = bytearray()
 
     def write(self, data: bytes) -> None:
@@ -31,6 +31,18 @@ class BgzfWriter:
         while len(self.buf) >= self.MAX_BLOCK:
             self._flush_block(self.buf[: self.MAX_BLOCK])
             del self.buf[: self.MAX_BLOCK]
+
+    def flush_boundary(self) -> int:
+        """Flush any buffered bytes as a (possibly short) BGZF block
+        and return the file offset — a valid truncation point for
+        checkpoint/resume (BGZF blocks are independent; a truncated
+        file at a block boundary plus appended blocks is a valid
+        stream)."""
+        if self.buf:
+            self._flush_block(bytes(self.buf))
+            self.buf.clear()
+        self.fh.flush()
+        return self.fh.tell()
 
     def _flush_block(self, raw: bytes) -> None:
         co = zlib.compressobj(6, zlib.DEFLATED, -15)
@@ -95,9 +107,19 @@ def _encode_int_tag(tag: bytes, val: int) -> bytes:
 
 
 class BamWriter:
-    def __init__(self, path: str):
-        self.bgzf = BgzfWriter(path)
+    def __init__(self, path: str, append: bool = False):
+        """append=True reopens an existing stream at a BGZF block
+        boundary (checkpoint resume): no header is rewritten, but
+        write_header must still be called with the same lines to
+        rebuild the reference-id map (it skips the output)."""
+        self.bgzf = BgzfWriter(path, append=append)
         self.ref_ids: dict[str, int] = {}
+        self._append = append
+
+    def flush_boundary(self) -> int:
+        """Flush to a BGZF block boundary; returns the checkpointable
+        file offset."""
+        return self.bgzf.flush_boundary()
 
     def write_header(self, header_lines: list[str]) -> None:
         text = "\n".join(header_lines) + "\n"
@@ -108,6 +130,8 @@ class BamWriter:
                 refs.append((fields["SN"], int(fields["LN"])))
         for i, (name, _ln) in enumerate(refs):
             self.ref_ids[name] = i
+        if self._append:
+            return  # resume: header already in the file
         out = b"BAM\x01" + struct.pack("<i", len(text)) + text.encode()
         out += struct.pack("<i", len(refs))
         for name, ln in refs:

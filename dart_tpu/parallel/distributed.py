@@ -193,6 +193,8 @@ def run_distributed(cfg, coordinator: str, num_processes: int,
     idx = load_index(cfg.index_prefix)
     aligner = DartAligner(idx, cfg)
 
+    import json
+
     shard_sam = f"{cfg.output_file}.shard{process_id:04d}"
     files2 = cfg.read_files_2 if cfg.read_files_2 else [None] * len(cfg.read_files_1)
     # per-file chunk byte ranges: round-robin (strided) shards must be
@@ -200,17 +202,72 @@ def run_distributed(cfg, coordinator: str, num_processes: int,
     # runs must merge file sections in input order — a plain shard-file
     # concatenation would reorder both
     shard_meta = {"files": []}
-    with open(shard_sam, "w") as out:
+
+    # per-host checkpoint (survey §5): each host persists its own input
+    # cursor (file section + chunk count), shard byte offset, partial
+    # junction table and counters; a restarted job resumes every shard
+    # from its last completed chunk
+    ckpt_path = shard_sam + ".ckpt"
+    resume = None
+    if cfg.checkpoint and os.path.exists(ckpt_path) \
+            and os.path.exists(shard_sam):
+        with open(ckpt_path) as f:
+            st = json.load(f)
+        if (st.get("batch_reads") == cfg.batch_reads
+                and st.get("nprocs") == num_processes):
+            resume = st
+            aligner.counters.update(resume["counters"])
+            for g1, g2, t, cnt in resume["sj"]:
+                aligner.sj_map[(g1, g2)] = [t, cnt]
+            with open(shard_sam, "r+") as f:
+                f.truncate(resume["bytes"])
+            shard_meta["files"] = resume["files_done"]
+
+    with open(shard_sam, "a" if resume else "w") as out:
+        state = {"fi": 0, "chunks": 0}
+
         def emit(sam):
             out.write(sam.decode("latin-1") if isinstance(sam, bytes)
                       else "\n".join(sam) + ("\n" if sam else ""))
             offs.append(out.tell())
+            state["chunks"] += 1
+            if cfg.checkpoint:
+                out.flush()
+                tmp = ckpt_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({
+                        "batch_reads": cfg.batch_reads,
+                        "nprocs": num_processes,
+                        "file_idx": state["fi"],
+                        "chunks": state["chunks"],
+                        "bytes": out.tell(),
+                        "offs": offs,
+                        "files_done": shard_meta["files"],
+                        "counters": aligner.counters,
+                        "sj": [[g1, g2, v[0], v[1]] for (g1, g2), v in
+                               sorted(aligner._merged_sj().items())]}, f)
+                os.replace(tmp, ckpt_path)
+                crash_after = int(os.environ.get(
+                    "DART_TPU_TEST_CRASH_AFTER_CHUNKS", "0"))
+                if crash_after and state["chunks"] >= crash_after:
+                    # test hook: simulate a host failure after N chunks
+                    raise RuntimeError("injected distributed crash")
 
-        for path1, path2 in zip(cfg.read_files_1, files2):
+        for fi, (path1, path2) in enumerate(zip(cfg.read_files_1, files2)):
+            if resume is not None and fi < resume["file_idx"]:
+                continue
             reader = make_shard_reader(path1, path2, cfg.pair_end,
                                        cfg.batch_reads, num_processes,
                                        process_id)
+            state["fi"] = fi
+            state["chunks"] = 0
             offs = [out.tell()]
+            if resume is not None and fi == resume["file_idx"]:
+                for _ in range(resume["chunks"]):
+                    reader.next_chunk()  # deterministic fast-forward
+                state["chunks"] = resume["chunks"]
+                offs = resume["offs"]
+                resume = None
             if aligner.native is not None:
                 aligner._run_pipelined(reader, reader.pair_end, emit)
             else:
@@ -224,15 +281,16 @@ def run_distributed(cfg, coordinator: str, num_processes: int,
             shard_meta["files"].append(
                 {"strided": isinstance(reader, _StridedReader),
                  "offsets": offs})
-    import json
 
     with open(shard_sam + ".idx", "w") as f:
         json.dump(shard_meta, f)
+    if cfg.checkpoint and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
 
     # ---- merge phase (collectives) ----
-    sj_items = (aligner.native.sj_items() if aligner.native is not None
-                else [(g1, g2, v[0], v[1])
-                      for (g1, g2), v in sorted(aligner.sj_map.items())])
+    # _merged_sj combines resumed state with the native accumulation
+    sj_items = [(g1, g2, v[0], v[1]) for (g1, g2), v in
+                sorted(aligner._merged_sj().items())]
     merged_sj = _allgather_sj(sj_items)
     c = aligner.counters
     local = np.asarray([c["total"], c["unique"], c["unmapped"], c["paired"]],

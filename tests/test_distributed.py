@@ -112,3 +112,57 @@ def test_two_process_bam_output(tmp_path):
         f = line.rstrip("\n").split("\t")
         assert rec["name"] == f[0] and rec["flag"] == int(f[1])
         assert rec["pos"] == int(f[3]) and rec["cigar"] == f[5]
+
+
+def test_two_process_checkpoint_resume(tmp_path):
+    """Per-host checkpoint: both hosts crash mid-run (injected), then a
+    restarted job resumes each shard from its last completed chunk and
+    still produces the golden output."""
+    out = tmp_path / "out.sam"
+    sj = tmp_path / "junctions.tab"
+    base_env = dict(os.environ)
+    base_env["JAX_PLATFORMS"] = "cpu"
+    base_env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    base_env["PYTHONPATH"] = REPO + os.pathsep + base_env.get("PYTHONPATH", "")
+    base_env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    def launch(env):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            cmd = [sys.executable, "-m", "dart_tpu.cli",
+                   "-i", os.path.join(GOLD, "index", "toy"),
+                   "-f", os.path.join(DATA, "spliced.fa"),
+                   "-o", str(out), "-j", str(sj), "-silent",
+                   "--batch", "64", "--checkpoint",
+                   "--dist-coordinator", f"127.0.0.1:{port}",
+                   "--dist-nprocs", "2", "--dist-pid", str(pid)]
+            procs.append(subprocess.Popen(cmd, env=env,
+                                          stdout=subprocess.PIPE,
+                                          stderr=subprocess.PIPE))
+        outs = []
+        for p in procs:
+            try:
+                outs.append(p.communicate(timeout=300))
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+        return [p.returncode for p in procs], outs
+
+    env1 = dict(base_env)
+    env1["DART_TPU_TEST_CRASH_AFTER_CHUNKS"] = "2"
+    rcs, outs = launch(env1)
+    assert any(rc != 0 for rc in rcs), "crash hook did not fire"
+    assert os.path.exists(str(out) + ".shard0000.ckpt")
+
+    rcs, outs = launch(base_env)
+    assert rcs == [0, 0], outs[0][1].decode()[-2000:]
+    assert not os.path.exists(str(out) + ".shard0000.ckpt")
+
+    golden_lines = [l for l in open(os.path.join(GOLD, "c3_spliced.sam"))
+                    if not l.startswith("@")]
+    got = [l for l in open(out) if not l.startswith("@")]
+    assert got == golden_lines
+    assert sj.read_text() == open(
+        os.path.join(GOLD, "c3_spliced.junctions.tab")).read()
