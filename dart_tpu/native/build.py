@@ -21,9 +21,14 @@ _LIB = None
 SOURCES = ["sais.cpp", "zoo.cpp", "pipeline.cpp", "pack.cpp"]
 
 
+def _tsan() -> bool:
+    return os.environ.get("DART_TPU_TSAN") == "1"
+
+
 def _lib_path() -> str:
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    return os.path.join(_HERE, "libdart_native" + suffix)
+    name = "libdart_native_tsan" if _tsan() else "libdart_native"
+    return os.path.join(_HERE, name + suffix)
 
 
 def _needs_build(lib: str) -> bool:
@@ -46,8 +51,10 @@ def build(force: bool = False) -> str:
                 "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
                 "-pthread", *srcs, "-o", lib + ".tmp",
             ]
-            if os.environ.get("DART_TPU_TSAN") == "1":
-                # thread-sanitized build for auditing the -t pool
+            if _tsan():
+                # thread-sanitized build (separate artifact name, so
+                # the production lib is untouched) for auditing the -t
+                # pool; exercised by tests/test_tsan.py
                 cmd[1:1] = ["-fsanitize=thread", "-g", "-O1"]
             subprocess.run(cmd, check=True, capture_output=True)
             os.replace(lib + ".tmp", lib)
