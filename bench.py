@@ -2,30 +2,39 @@
 """dart_tpu benchmark driver.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "reads/s", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "reads/s", "vs_baseline": N, ...}
 
-Workload: single-end 100 bp RNA-seq reads (70% genomic with 0.5%
-mismatches, 30% spliced across GT/AG introns) against a synthetic
-8 Mbp two-chromosome genome — the shape of the reference's own
-headline configs (BASELINE.json configs 1 and 3) at a size that
-builds and runs in minutes.
+Headline workload (metric/value/vs_baseline): single-end 100 bp
+RNA-seq reads (70% genomic with 0.5% mismatches, 30% spliced across
+GT/AG introns) against a synthetic 8 Mbp two-chromosome genome — the
+shape of the reference's own headline configs (BASELINE.json configs
+1 and 3) at a size that builds and runs in minutes. Two more configs
+ride along in the "configs" field: the same read mix against a 50 Mbp
+genome (chr21 scale, BASELINE.json config 2), and paired-end reads
+with BAM output on the 8 Mbp genome.
 
 Baseline: the reference Dart binary (hsinnan75/Dart, built from
 /root/reference by tools/build_reference.sh) aligning the identical
-reads with the identical BWA-format index, using every CPU on the
-host (-t nproc). vs_baseline = our reads/s divided by the
-reference's reads/s; a cached measurement is reused when the
-reference sources are unavailable.
+reads with the identical BWA-format index. This host has one core, so
+the reference runs at its -t 1 == -t nproc speed; the same run's SAM
+(deterministic order at -t 1) doubles as the PARITY ORACLE: our
+output is compared record-for-record IN ORDER (unmapped-read FLAG
+normalized — the reference emits stale-memory flag bits there; see
+tests/test_parity.py).
 
 Both sides are timed over the full mapping phase (read parsing,
-alignment, SAM + junction output) excluding one-time process
+alignment, SAM/BAM + junction output) excluding one-time process
 startup (interpreter/backend init, index load, first-compile —
-amortized away in production runs and priced separately in the
-meta line on stderr).
+amortized away in production runs and priced separately in the meta
+line on stderr). The TPU pool and relay host are tenant-shared and
+identical passes vary several-fold, so each side keeps its best pass,
+sampling until two passes agree within 8% (a repeated time indicates
+a quiet window; a single fast pass may be luck).
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import random
@@ -40,102 +49,167 @@ sys.path.insert(0, os.path.join(HERE, "tools"))
 WORK = os.environ.get("DART_TPU_BENCH_DIR", "/tmp/dart_tpu_bench")
 N_READS = int(os.environ.get("DART_TPU_BENCH_READS", "100000"))
 READ_LEN = 100
-GENOME = {"chr1": 5000000, "chr2": 3000000}
 SEED = 20260816
 REF_BIN = "/tmp/dart_ref/bin/dart"
-BASELINE_CACHE = os.path.join(WORK, "baseline_rate.json")
+
+CONFIGS = {
+    "8mbp_se": {
+        "genome": {"chr1": 5_000_000, "chr2": 3_000_000},
+        "n_reads": N_READS, "paired": False, "bam": False,
+        "passes": 10,
+    },
+    "50mbp_se": {
+        "genome": {"chr1": 30_000_000, "chr2": 20_000_000},
+        "n_reads": N_READS, "paired": False, "bam": False,
+        "passes": 6,
+    },
+    "8mbp_pe_bam": {
+        "genome": {"chr1": 5_000_000, "chr2": 3_000_000},
+        "n_reads": (N_READS // 4) * 2, "paired": True, "bam": True,
+        "passes": 6,
+    },
+}
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def ensure_dataset() -> tuple[str, str]:
-    """Create (cached) genome + reads + our BWA-compatible index."""
-    os.makedirs(WORK, exist_ok=True)
-    fa = os.path.join(WORK, "genome.fa")
-    fq = os.path.join(WORK, f"reads_{N_READS}.fq")
-    prefix = os.path.join(WORK, "idx")
-    if not os.path.exists(fa):
-        import make_fixtures as mf
+def _read_genome(fa: str) -> dict[str, str]:
+    genome: dict[str, str] = {}
+    name = None
+    parts: list[str] = []
+    with open(fa) as f:
+        for line in f:
+            if line.startswith(">"):
+                if name:
+                    genome[name] = "".join(parts)
+                name = line[1:].split()[0].strip()
+                parts = []
+            else:
+                parts.append(line.strip())
+    genome[name] = "".join(parts)
+    return genome
 
-        log("bench: generating genome...")
+
+def ensure_dataset(cname: str, spec: dict) -> dict:
+    """Create (cached) genome + reads + our BWA-compatible index for
+    one config. Returns paths + our index build time (recorded the
+    first time the index is built)."""
+    import make_fixtures as mf
+
+    d = os.path.join(WORK, cname)
+    os.makedirs(d, exist_ok=True)
+    fa = os.path.join(d, "genome.fa")
+    prefix = os.path.join(d, "idx")
+    meta_p = os.path.join(d, "meta.json")
+    if not os.path.exists(fa):
+        log(f"bench[{cname}]: generating "
+            f"{sum(spec['genome'].values())/1e6:.0f} Mbp genome...")
         rng = random.Random(SEED)
-        genome = mf.make_genome(rng, GENOME, n_runs=4)
-        chr1, genes = mf.plant_genes(rng, genome["chr1"], n_genes=150)
+        genome = mf.make_genome(rng, spec["genome"], n_runs=4)
+        n_genes = max(50, sum(spec["genome"].values()) // 50000)
+        chr1, genes = mf.plant_genes(rng, genome["chr1"], n_genes=n_genes)
         genome["chr1"] = chr1
         mf.write_fasta(fa, sorted(genome.items()))
-        with open(os.path.join(WORK, "genes.txt"), "w") as f:
+        with open(os.path.join(d, "genes.txt"), "w") as f:
             for exs in genes:
                 f.write("chr1\t" + ",".join(f"{a}-{b}" for a, b in exs) + "\n")
-    if not os.path.exists(fq):
-        import make_fixtures as mf
-
-        log(f"bench: simulating {N_READS} reads...")
-        rng = random.Random(SEED + 1)
-        genome = {}
-        name = None
-        with open(fa) as f:
-            parts: list[str] = []
-            for line in f:
-                if line.startswith(">"):
-                    if name:
-                        genome[name] = "".join(parts)
-                    name = line[1:].split()[0].strip()
-                    parts = []
-                else:
-                    parts.append(line.strip())
-            genome[name] = "".join(parts)
-        genes = []
-        with open(os.path.join(WORK, "genes.txt")) as f:
-            for line in f:
-                _, exs = line.split("\t")
-                genes.append([tuple(map(int, p.split("-"))) for p in exs.split(",")])
-        n_spliced = N_READS * 3 // 10
-        reads = mf.sim_reads_genomic(rng, genome, N_READS - n_spliced, READ_LEN,
-                                     0.005, tag="g")
-        reads += mf.sim_reads_spliced(rng, "chr1", genome["chr1"], genes,
-                                      n_spliced, READ_LEN, 0.005, tag="s")
-        rng.shuffle(reads)
-        mf.write_reads_fastq(fq, reads)
+    n = spec["n_reads"]
+    if spec["paired"]:
+        fq1 = os.path.join(d, f"reads_{n}_1.fq")
+        fq2 = os.path.join(d, f"reads_{n}_2.fq")
+        if not os.path.exists(fq1):
+            log(f"bench[{cname}]: simulating {n // 2} read pairs...")
+            rng = random.Random(SEED + 1)
+            genome = _read_genome(fa)
+            r1, r2 = mf.sim_reads_paired(rng, genome, n // 2, READ_LEN,
+                                         mismatch_rate=0.005)
+            mf.write_reads_fastq(fq1, r1)
+            mf.write_reads_fastq(fq2, r2)
+        fq = (fq1, fq2)
+    else:
+        fq1 = os.path.join(d, f"reads_{n}.fq")
+        if not os.path.exists(fq1):
+            log(f"bench[{cname}]: simulating {n} reads...")
+            rng = random.Random(SEED + 1)
+            genome = _read_genome(fa)
+            genes = []
+            with open(os.path.join(d, "genes.txt")) as f:
+                for line in f:
+                    _, exs = line.split("\t")
+                    genes.append([tuple(map(int, p.split("-")))
+                                  for p in exs.split(",")])
+            n_spliced = n * 3 // 10
+            reads = mf.sim_reads_genomic(rng, genome, n - n_spliced,
+                                         READ_LEN, 0.005, tag="g")
+            reads += mf.sim_reads_spliced(rng, "chr1", genome["chr1"], genes,
+                                          n_spliced, READ_LEN, 0.005, tag="s")
+            rng.shuffle(reads)
+            mf.write_reads_fastq(fq1, reads)
+        fq = (fq1, None)
     if not os.path.exists(prefix + ".bwt"):
-        log("bench: building index...")
+        log(f"bench[{cname}]: building index...")
         from dart_tpu.index import build_index
 
+        t0 = time.time()
         build_index(fa, prefix)
-    return fq, prefix
+        with open(meta_p, "w") as f:
+            json.dump({"index_build_s": round(time.time() - t0, 2)}, f)
+    meta = json.load(open(meta_p)) if os.path.exists(meta_p) else {}
+    return {"fq": fq, "prefix": prefix, "dir": d,
+            "index_build_s": meta.get("index_build_s")}
 
 
-def measure_reference(fq: str, prefix: str) -> float | None:
-    """Reference Dart reads/s on this host (all cores), cached."""
+def _converged(times: list[float]) -> bool:
+    """Two passes within 8% of the best = quiet window found."""
+    if len(times) < 2:
+        return False
+    s = sorted(times)
+    return s[1] <= s[0] * 1.08
+
+
+def measure_reference(cname: str, spec: dict, ds: dict) -> float | None:
+    """Reference Dart reads/s on this host, cached; also leaves the
+    -t 1 SAM as the in-order parity oracle."""
+    cache = os.path.join(ds["dir"], "baseline_rate.json")
+    ref_sam = os.path.join(ds["dir"], "ref.sam")
+    if os.path.exists(cache) and os.path.exists(ref_sam):
+        return json.load(open(cache))["reads_per_sec"]
     if not os.path.exists(REF_BIN):
         try:
-            subprocess.run(["bash", os.path.join(HERE, "tools", "build_reference.sh")],
+            subprocess.run(["bash", os.path.join(HERE, "tools",
+                                                 "build_reference.sh")],
                            check=True, capture_output=True, timeout=900)
         except Exception as e:
-            log(f"bench: cannot build reference dart ({e}); using cached baseline")
-            if os.path.exists(BASELINE_CACHE):
-                return json.load(open(BASELINE_CACHE))["reads_per_sec"]
+            log(f"bench[{cname}]: cannot build reference dart ({e})")
+            if os.path.exists(cache):
+                return json.load(open(cache))["reads_per_sec"]
             return None
-    nproc = os.cpu_count() or 1
-    best = None
-    for _ in range(2):
+    fq1, fq2 = ds["fq"]
+    cmd = [REF_BIN, "-i", ds["prefix"], "-f", fq1]
+    if fq2:
+        cmd += ["-f2", fq2]
+    cmd += ["-t", "1", "-mis", "5", "-o", ref_sam,
+            "-j", os.path.join(ds["dir"], "ref.junctions.tab"), "-silent"]
+    times: list[float] = []
+    for _ in range(4):
         t0 = time.time()
-        subprocess.run([REF_BIN, "-i", prefix, "-f", fq, "-t", str(nproc),
-                        "-mis", "5", "-o", os.path.join(WORK, "ref.sam"),
-                        "-j", os.path.join(WORK, "ref.junctions.tab"), "-silent"],
-                       check=True, capture_output=True, timeout=3600)
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    rate = N_READS / best
-    with open(BASELINE_CACHE, "w") as f:
-        json.dump({"reads_per_sec": rate, "n_reads": N_READS, "nproc": nproc,
+        subprocess.run(cmd, check=True, capture_output=True, timeout=3600)
+        times.append(time.time() - t0)
+        if len(times) >= 2 and _converged(times):
+            break
+    best = min(times)
+    rate = spec["n_reads"] / best
+    with open(cache, "w") as f:
+        json.dump({"reads_per_sec": rate, "n_reads": spec["n_reads"],
                    "wall_s": best}, f)
-    log(f"bench: reference dart: {best:.2f}s ({rate:.0f} reads/s, -t {nproc})")
+    log(f"bench[{cname}]: reference dart: {best:.2f}s ({rate:.0f} reads/s, "
+        f"-t 1, {len(times)} passes)")
     return rate
 
 
-def measure_ours(fq: str, prefix: str) -> tuple[float, dict]:
+def measure_ours(cname: str, spec: dict, ds: dict) -> tuple[float, dict]:
     from dart_tpu.aligner import DartAligner, make_engine
     from dart_tpu.config import DartConfig
     from dart_tpu.index import load_index
@@ -145,81 +219,106 @@ def measure_ours(fq: str, prefix: str) -> tuple[float, dict]:
     cfg.engine = "jax"
     cfg.max_mismatch = 5
     cfg.silent = True
-    cfg.read_files_1 = [fq]
-    cfg.output_file = os.path.join(WORK, "tpu.sam")
-    cfg.sj_file = os.path.join(WORK, "tpu.junctions.tab")
-    idx = load_index(prefix)
+    fq1, fq2 = ds["fq"]
+    cfg.read_files_1 = [fq1]
+    if fq2:
+        cfg.read_files_2 = [fq2]
+        cfg.pair_end = True
+    ext = "bam" if spec["bam"] else "sam"
+    cfg.output_file = os.path.join(ds["dir"], f"tpu.{ext}")
+    cfg.output_format = 1 if spec["bam"] else 0
+    cfg.sj_file = os.path.join(ds["dir"], "tpu.junctions.tab")
+    idx = load_index(ds["prefix"])
     engine = make_engine(idx, cfg)
     # warm compile caches, device-side program loads, and relay
     # buffers with one full uncounted pass (persistent XLA cache makes
     # this fast after the first-ever run on a machine)
-    import contextlib
-
     warm = DartAligner(idx, cfg, engine)
     with contextlib.redirect_stdout(sys.stderr):
         warm.run()
     setup_s = time.time() - t_setup
 
-    # best of N: the host CPU is shared with the device-transfer relay
-    # (and other tenants), so wall time fluctuates heavily — the best
-    # run reflects steady-state capability, mirroring the reference
-    # side's best-of-2
-    best = None
-    for i in range(10):
+    times: list[float] = []
+    for i in range(spec["passes"]):
         aligner = DartAligner(idx, cfg, engine)
         t0 = time.time()
         with contextlib.redirect_stdout(sys.stderr):
             aligner.run()
-        wall = time.time() - t0
-        best = wall if best is None else min(best, wall)
-        log(f"bench: dart_tpu pass: {wall:.2f}s")
-        # shared TPU pool + relay-host CPU: keep sampling until a
-        # quiet-window pass lands (steady-state capability), bounded
-        if i >= 3 and best < 2.6:
+        times.append(time.time() - t0)
+        log(f"bench[{cname}]: dart_tpu pass: {times[-1]:.2f}s")
+        if i >= 2 and _converged(times):
             break
-    rate = N_READS / best
-    log(f"bench: dart_tpu: {best:.2f}s ({rate:.0f} reads/s; setup+warmup {setup_s:.1f}s)")
-    return rate, {"wall_s": best, "setup_s": setup_s}
+    best = min(times)
+    rate = spec["n_reads"] / best
+    spread = max(times) / best
+    log(f"bench[{cname}]: dart_tpu: {best:.2f}s ({rate:.0f} reads/s; "
+        f"{len(times)} passes, spread {spread:.2f}x; "
+        f"setup+warmup {setup_s:.1f}s)")
+    return rate, {"wall_s": round(best, 3), "setup_s": round(setup_s, 1),
+                  "passes": len(times), "spread": round(spread, 2)}
 
 
-def parity_note() -> str:
-    """Best-effort output comparison (unmapped-read FLAG normalized:
-    the reference emits stale-memory flag bits on unmapped reads —
-    see tests/test_parity.py)."""
-    ref_sam = os.path.join(WORK, "ref.sam")
-    tpu_sam = os.path.join(WORK, "tpu.sam")
-    if not (os.path.exists(ref_sam) and os.path.exists(tpu_sam)):
+def _norm_sam_line(line: str) -> str:
+    p = line.rstrip("\n").split("\t")
+    if len(p) > 4 and p[2] == "*":
+        p[1] = "4"  # reference reads uninitialized FLAG on unmapped
+    return "\t".join(p)
+
+
+def parity_check(cname: str, spec: dict, ds: dict) -> str:
+    """Record-for-record IN-ORDER comparison against the reference's
+    -t 1 SAM (its order is deterministic = input order, like ours)."""
+    ref_sam = os.path.join(ds["dir"], "ref.sam")
+    if not os.path.exists(ref_sam):
         return "n/a"
+    with open(ref_sam) as f:
+        want = [_norm_sam_line(l) for l in f if not l.startswith("@")]
+    if spec["bam"]:
+        sys.path.insert(0, os.path.join(HERE, "tests"))
+        from test_bam import decode_bam
 
-    def norm(path):
-        out = []
-        with open(path) as f:
-            for line in f:
-                p = line.rstrip("\n").split("\t")
-                if len(p) > 4 and p[2] == "*":
-                    p[1] = "4"
-                out.append("\t".join(p))
-        out.sort()
-        return out
-
-    a, b = norm(ref_sam), norm(tpu_sam)
-    same = sum(1 for x, y in zip(a, b) if x == y)
-    return f"{same}/{max(len(a), len(b))} identical SAM records"
+        _, _, records = decode_bam(os.path.join(ds["dir"], "tpu.bam"))
+        got = []
+        for rec in records:
+            got.append((rec["name"], rec["flag"], rec["pos"], rec["cigar"]))
+        want2 = []
+        for line in want:
+            p = line.split("\t")
+            want2.append((p[0], int(p[1]),
+                          int(p[3]) if p[2] != "*" else 0, p[5]))
+        # BAM keeps the XS:A tag the reference truncates; compare core
+        # fields only (name/flag/pos/cigar)
+        same = sum(1 for x, y in zip(got, want2) if x == y)
+        return f"{same}/{max(len(got), len(want2))} records (BAM core fields, in order)"
+    with open(os.path.join(ds["dir"], "tpu.sam")) as f:
+        got = [_norm_sam_line(l) for l in f if not l.startswith("@")]
+    same = sum(1 for x, y in zip(got, want) if x == y)
+    return f"{same}/{max(len(got), len(want))} identical SAM records (in order)"
 
 
 def main() -> int:
-    fq, prefix = ensure_dataset()
-    baseline = measure_reference(fq, prefix)
-    rate, meta = measure_ours(fq, prefix)
-    note = parity_note()
-    log(f"bench: parity: {note}")
-    result = {
+    results = {}
+    for cname, spec in CONFIGS.items():
+        ds = ensure_dataset(cname, spec)
+        baseline = measure_reference(cname, spec, ds)
+        rate, meta = measure_ours(cname, spec, ds)
+        note = parity_check(cname, spec, ds)
+        log(f"bench[{cname}]: parity: {note}")
+        results[cname] = {
+            "reads_per_sec": round(rate, 1),
+            "vs_baseline": round(rate / baseline, 4) if baseline else None,
+            "parity": note,
+            "index_build_s": ds["index_build_s"],
+            **meta,
+        }
+    head = results["8mbp_se"]
+    print(json.dumps({
         "metric": "rna_seq_align_throughput",
-        "value": round(rate, 1),
+        "value": head["reads_per_sec"],
         "unit": "reads/s",
-        "vs_baseline": round(rate / baseline, 4) if baseline else None,
-    }
-    print(json.dumps(result))
+        "vs_baseline": head["vs_baseline"],
+        "configs": results,
+    }))
     return 0
 
 
