@@ -67,20 +67,39 @@ def make_engine(idx: Index, cfg: DartConfig):
 
         import jax
 
+        mesh_spec = dict(
+            kv.split("=") for kv in cfg.mesh.split(",") if "=" in kv)
+        data_n = int(mesh_spec.get("data", 1))
+        index_n = int(mesh_spec.get("index", 1))
+        lut_k = int(os.environ.get("DART_TPU_LUT", "-1"))
+        if lut_k < 0:
+            # the K-mer jump table pays off on real accelerators; the
+            # CPU backend (tests, dry runs) skips the build cost
+            lut_k = 12 if jax.default_backend() != "cpu" else 0
         if idx.seq_len >= 2**31:
             # GRCh38-class genomes: fwd+RC text exceeds int32 — the
             # wide engine runs the same automaton on (lo, hi) uint32
             # pair state (reference: int64 bwt_t, structure.h:29-45)
             from .ops.fm_jax_wide import FMIndexJaxWide
 
-            return FMIndexJaxWide(idx, max_dup_num=cfg.max_dup_num)
+            index_mesh = None
+            if index_n > 1:
+                from jax.sharding import Mesh
+
+                import numpy as _np
+
+                index_mesh = Mesh(_np.asarray(jax.devices()[:index_n]),
+                                  ("index",))
+            return FMIndexJaxWide(idx, max_dup_num=cfg.max_dup_num,
+                                  index_mesh=index_mesh)
+        if data_n > 1 or index_n > 1:
+            from .parallel.mesh import ShardedFMIndex, make_mesh
+
+            mesh = make_mesh(data_n * index_n, index_shards=index_n)
+            return ShardedFMIndex(idx, mesh, max_dup_num=cfg.max_dup_num,
+                                  lut_k=lut_k)
         from .ops.fm_jax import FMIndexJax
 
-        lut_k = int(os.environ.get("DART_TPU_LUT", "-1"))
-        if lut_k < 0:
-            # the K-mer jump table pays off on real accelerators; the
-            # CPU backend (tests, dry runs) skips the build cost
-            lut_k = 12 if jax.default_backend() != "cpu" else 0
         return FMIndexJax(idx, max_dup_num=cfg.max_dup_num, lut_k=lut_k)
     from .ops.fm_numpy import FMIndexNumpy
 

@@ -37,6 +37,9 @@ Options: -t INT        number of threads [4]
          -v            version
 Extensions:
          --engine E    compute engine: auto | jax | numpy [auto]
+         --mesh SPEC   multi-chip mesh, e.g. data=4 or data=4,index=2
+                       (reads data-parallel; index range-sharded for
+                       genomes beyond one chip's HBM)
 """)
 
 
@@ -104,6 +107,9 @@ def parse_args(argv: list[str]) -> DartConfig | None:
         elif a == "--engine":
             i += 1
             cfg.engine = argv[i]
+        elif a == "--mesh":
+            i += 1
+            cfg.mesh = argv[i]
         elif a == "--batch":
             i += 1
             cfg.batch_reads = max(2, int(argv[i]))

@@ -31,6 +31,7 @@ class DartConfig:
                                     # auto = jax when importable (TPU or CPU
                                     # backend), else the NumPy fallback
     batch_reads: int = 32768  # device batch; output-invariant
+    mesh: str = ""            # --mesh data=N[,index=M] multi-chip spec
     native: bool = True       # C++ host pipeline (fallback: pure Python)
     checkpoint: bool = False  # per-chunk cursor persistence + resume
     stats: bool = False       # per-stage timing report on stderr

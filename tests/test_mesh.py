@@ -65,3 +65,30 @@ def test_sharded_engine_lut_matches(toy_index):
     b = plain.seed_reads(codes, rlens)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_cli_mesh_flag_matches_golden(tmp_path):
+    """--mesh data=2,index=2 through the CLI must reproduce the golden
+    output on the virtual device grid."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(here)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = tmp_path / "out.sam"
+    p = subprocess.run(
+        [sys.executable, "-m", "dart_tpu.cli",
+         "-i", os.path.join(here, "golden", "index", "toy"),
+         "-f", os.path.join(here, "data", "spliced.fa"),
+         "--mesh", "data=2,index=2",
+         "-o", str(out), "-j", str(tmp_path / "j.tab"), "-silent"],
+        env=env, capture_output=True, timeout=500)
+    assert p.returncode == 0, p.stderr.decode()[-2000:]
+    assert out.read_text() == open(
+        os.path.join(here, "golden", "c3_spliced.sam")).read()
