@@ -187,11 +187,20 @@ def measure_reference(cname: str, spec: dict, ds: dict) -> float | None:
                 return json.load(open(cache))["reads_per_sec"]
             return None
     fq1, fq2 = ds["fq"]
-    cmd = [REF_BIN, "-i", ds["prefix"], "-f", fq1]
+    base = [REF_BIN, "-i", ds["prefix"], "-f", fq1]
     if fq2:
-        cmd += ["-f2", fq2]
-    cmd += ["-t", "1", "-mis", "5", "-o", ref_sam,
-            "-j", os.path.join(ds["dir"], "ref.junctions.tab"), "-silent"]
+        base += ["-f2", fq2]
+    base += ["-t", "1", "-mis", "5",
+             "-j", os.path.join(ds["dir"], "ref.junctions.tab"), "-silent"]
+    # timed runs write the SAME format we will (BAM configs time the
+    # reference's htslib BAM path); the -t 1 SAM parity oracle is a
+    # separate untimed run when the formats differ
+    if spec["bam"]:
+        cmd = base + ["-bo", os.path.join(ds["dir"], "ref.bam")]
+        subprocess.run(base + ["-o", ref_sam], check=True,
+                       capture_output=True, timeout=3600)
+    else:
+        cmd = base + ["-o", ref_sam]
     times: list[float] = []
     for _ in range(4):
         t0 = time.time()
@@ -260,8 +269,10 @@ def measure_ours(cname: str, spec: dict, ds: dict) -> tuple[float, dict]:
 
 def _norm_sam_line(line: str) -> str:
     p = line.rstrip("\n").split("\t")
-    if len(p) > 4 and p[2] == "*":
-        p[1] = "4"  # reference reads uninitialized FLAG on unmapped
+    if len(p) > 4 and p[2] == "*" and not int(p[1]) & 1:
+        # reference reads uninitialized FLAG on SINGLE-end unmapped
+        # reads (paired flags are deterministic)
+        p[1] = "4"
     return "\t".join(p)
 
 

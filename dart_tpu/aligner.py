@@ -431,8 +431,7 @@ class DartAligner:
             def emit(sam, _fi=file_idx):
                 if isinstance(sam, bytes):
                     if writer is not None:
-                        for line in sam.decode("latin-1").splitlines():
-                            writer.write_record(line)
+                        writer.write_sam_bytes(sam)
                     else:
                         out_stream.write(sam.decode("latin-1"))
                 elif writer is not None:

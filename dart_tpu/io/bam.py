@@ -9,6 +9,7 @@ differ from htslib's).
 
 from __future__ import annotations
 
+import ctypes
 import struct
 import zlib
 
@@ -138,6 +139,39 @@ class BamWriter:
             nb = name.encode() + b"\x00"
             out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln)
         self.bgzf.write(out)
+
+    _ENC = None
+
+    def write_sam_bytes(self, sam: bytes) -> None:
+        """Encode a whole SAM-text chunk ('@' lines skipped) through
+        the native encoder (native/bamenc.cpp) — the BAM-output hot
+        path; falls back to the per-record Python twin."""
+        if BamWriter._ENC is None:
+            from ..native import build as native_build
+
+            lib = native_build.load()
+            if lib is None or not hasattr(lib, "dart_sam_to_bam"):
+                BamWriter._ENC = False
+            else:
+                lib.dart_sam_to_bam.restype = ctypes.c_int64
+                lib.dart_sam_to_bam.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+                BamWriter._ENC = lib.dart_sam_to_bam
+        if BamWriter._ENC is False:
+            for line in sam.decode("latin-1").splitlines():
+                if line and not line.startswith("@"):
+                    self.write_record(line)
+            return
+        names = ("\n".join(self.ref_ids) + "\n").encode()
+        cap = len(sam) + len(sam) // 2 + 4096
+        while True:
+            buf = (ctypes.c_uint8 * cap)()
+            n = BamWriter._ENC(sam, len(sam), names, buf, cap)
+            if n >= 0:
+                break
+            cap *= 2
+        self.bgzf.write(ctypes.string_at(buf, int(n)))
 
     def write_record(self, sam_line: str) -> None:
         f = sam_line.split("\t")

@@ -130,3 +130,35 @@ def test_bam_matches_sam_golden(toy_index, data_dir, golden_dir, tmp_path,
                     n, t, v = part.split(":", 2)
                     want.append((n, int(v) if t == "i" else v))
         assert rec["tags"] == want
+
+
+def test_native_encoder_matches_python(tmp_path, golden_dir):
+    """native/bamenc.cpp must produce a byte-identical uncompressed
+    record stream to the Python per-record twin, across paired flags,
+    unmapped records, and the space-joined XS:A tag quirk."""
+    from dart_tpu.io.bam import BamWriter
+
+    for name in ("c5_pe", "c3_spliced", "c2_se_mm"):
+        sam_path = golden_dir / f"{name}.sam"
+        if not sam_path.exists():
+            continue
+        text = sam_path.read_text()
+        header = [l for l in text.splitlines() if l.startswith("@")]
+        body = "".join(l + "\n" for l in text.splitlines()
+                       if l and not l.startswith("@"))
+
+        w1 = BamWriter(str(tmp_path / "py.bam"))
+        w1.write_header(header)
+        for line in body.splitlines():
+            w1.write_record(line)
+        w1.close()
+
+        w2 = BamWriter(str(tmp_path / "nat.bam"))
+        w2.write_header(header)
+        w2.write_sam_bytes(body.encode())
+        assert w2._ENC not in (None, False), "native encoder unavailable"
+        w2.close()
+
+        a = gzip.decompress(open(tmp_path / "py.bam", "rb").read())
+        b = gzip.decompress(open(tmp_path / "nat.bam", "rb").read())
+        assert a == b, f"record stream mismatch for {name}"
