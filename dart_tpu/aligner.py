@@ -74,8 +74,12 @@ def make_engine(idx: Index, cfg: DartConfig):
         lut_k = int(os.environ.get("DART_TPU_LUT", "-1"))
         if lut_k < 0:
             # the K-mer jump table pays off on real accelerators; the
-            # CPU backend (tests, dry runs) skips the build cost
-            lut_k = 12 if jax.default_backend() != "cpu" else 0
+            # CPU backend (tests, dry runs) skips the build cost.
+            # K=11 (67 MB) beats K=12 (268 MB) on hardware: per-row
+            # gather cost grows with table size and the bigger table's
+            # rate penalty outweighs one saved scan step per seed
+            # (measured 2026-08-17: 0.27 s vs 0.44 s per 32k chunk)
+            lut_k = 11 if jax.default_backend() != "cpu" else 0
         if idx.seq_len >= 2**31:
             # GRCh38-class genomes: fwd+RC text exceeds int32 — the
             # wide engine runs the same automaton on (lo, hi) uint32
