@@ -382,7 +382,8 @@ class DartAligner:
             if cfg.output_format == 1:
                 from .io.bam import BamWriter
 
-                writer = BamWriter(cfg.output_file, append=True)
+                writer = BamWriter(cfg.output_file, append=True,
+                                   threads=cfg.threads)
                 writer.write_header(self.header_lines())  # ref map only
             else:
                 out_stream = open(cfg.output_file, "a")
@@ -391,7 +392,8 @@ class DartAligner:
             if cfg.output_format == 1:
                 from .io.bam import BamWriter
 
-                writer = BamWriter(cfg.output_file)
+                writer = BamWriter(cfg.output_file,
+                                   threads=cfg.threads)
                 own = True
             else:
                 out_stream = open(cfg.output_file, "w")

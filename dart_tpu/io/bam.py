@@ -20,18 +20,53 @@ BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
 
+def _deflate_block(raw: bytes) -> bytes:
+    """One complete BGZF member for `raw` (<= MAX_BLOCK bytes). Pure
+    function of its input, so blocks compress in parallel: zlib
+    releases the GIL, making a plain thread pool an effective -t
+    analogue of htslib's bgzf_mt writer threads."""
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = co.compress(raw) + co.flush()
+    bsize = len(comp) + 25 + 1
+    header = struct.pack(
+        "<BBBBIBBHBBHH",
+        0x1F, 0x8B, 8, 4,   # gzip magic, deflate, FEXTRA
+        0, 0, 0xFF,          # mtime, xfl, os
+        6,                   # xlen
+        66, 67, 2,           # 'B' 'C' slen
+        bsize - 1,
+    )
+    crc = zlib.crc32(raw) & 0xFFFFFFFF
+    return header + comp + struct.pack("<II", crc, len(raw))
+
+
 class BgzfWriter:
     MAX_BLOCK = 65280
 
-    def __init__(self, path: str, append: bool = False):
+    def __init__(self, path: str, append: bool = False, threads: int = 1):
         self.fh = open(path, "ab" if append else "wb")
         self.buf = bytearray()
+        self._pool = None
+        if threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(threads)
 
     def write(self, data: bytes) -> None:
         self.buf += data
-        while len(self.buf) >= self.MAX_BLOCK:
-            self._flush_block(self.buf[: self.MAX_BLOCK])
-            del self.buf[: self.MAX_BLOCK]
+        n_full = len(self.buf) // self.MAX_BLOCK
+        if not n_full:
+            return
+        blocks = [bytes(self.buf[i * self.MAX_BLOCK:(i + 1) * self.MAX_BLOCK])
+                  for i in range(n_full)]
+        del self.buf[: n_full * self.MAX_BLOCK]
+        if self._pool is not None and len(blocks) > 1:
+            # parallel compress, ordered write
+            for comp in self._pool.map(_deflate_block, blocks):
+                self.fh.write(comp)
+        else:
+            for raw in blocks:
+                self.fh.write(_deflate_block(raw))
 
     def flush_boundary(self) -> int:
         """Flush any buffered bytes as a (possibly short) BGZF block
@@ -40,32 +75,19 @@ class BgzfWriter:
         file at a block boundary plus appended blocks is a valid
         stream)."""
         if self.buf:
-            self._flush_block(bytes(self.buf))
+            self.fh.write(_deflate_block(bytes(self.buf)))
             self.buf.clear()
         self.fh.flush()
         return self.fh.tell()
 
-    def _flush_block(self, raw: bytes) -> None:
-        co = zlib.compressobj(6, zlib.DEFLATED, -15)
-        comp = co.compress(bytes(raw)) + co.flush()
-        bsize = len(comp) + 25 + 1
-        header = struct.pack(
-            "<BBBBIBBHBBHH",
-            0x1F, 0x8B, 8, 4,   # gzip magic, deflate, FEXTRA
-            0, 0, 0xFF,          # mtime, xfl, os
-            6,                   # xlen
-            66, 67, 2,           # 'B' 'C' slen
-            bsize - 1,
-        )
-        crc = zlib.crc32(bytes(raw)) & 0xFFFFFFFF
-        self.fh.write(header + comp + struct.pack("<II", crc, len(raw)))
-
     def close(self) -> None:
         if self.buf:
-            self._flush_block(bytes(self.buf))
+            self.fh.write(_deflate_block(bytes(self.buf)))
             self.buf.clear()
         self.fh.write(BGZF_EOF)
         self.fh.close()
+        if self._pool is not None:
+            self._pool.shutdown()
 
 
 def _reg2bin(beg: int, end: int) -> int:
@@ -108,12 +130,14 @@ def _encode_int_tag(tag: bytes, val: int) -> bytes:
 
 
 class BamWriter:
-    def __init__(self, path: str, append: bool = False):
+    def __init__(self, path: str, append: bool = False, threads: int = 1):
         """append=True reopens an existing stream at a BGZF block
         boundary (checkpoint resume): no header is rewritten, but
         write_header must still be called with the same lines to
-        rebuild the reference-id map (it skips the output)."""
-        self.bgzf = BgzfWriter(path, append=append)
+        rebuild the reference-id map (it skips the output).
+        threads>1 compresses BGZF blocks in parallel (htslib bgzf_mt
+        analogue; only pays off on multi-core hosts)."""
+        self.bgzf = BgzfWriter(path, append=append, threads=threads)
         self.ref_ids: dict[str, int] = {}
         self._append = append
 

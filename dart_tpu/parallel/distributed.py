@@ -345,7 +345,7 @@ def run_distributed(cfg, coordinator: str, num_processes: int,
             # -bo: shards are SAM text; host 0 encodes the merge to BAM
             from ..io.bam import BamWriter
 
-            writer = BamWriter(cfg.output_file)
+            writer = BamWriter(cfg.output_file, threads=cfg.threads)
             writer.write_header(aligner.header_lines())
             for fh, lo, hi in merged_pieces():
                 fh.seek(lo)
