@@ -159,3 +159,23 @@ def test_lean_numpy_occ_matches_full(toy_index):
                  dtype=np.int64),
         rng.integers(-1, toy_index.seq_len, 300, dtype=np.int64)])
     np.testing.assert_array_equal(full.occ4(k), lean.occ4(k))
+
+
+@pytest.mark.skipif("DART_TPU_BIG" not in __import__("os").environ,
+                    reason="multi-hour SA-IS build; set DART_TPU_BIG=1")
+def test_big_genome_cross_2e31(tmp_path):
+    """The genuine >2^31 boundary check: build a 1.1 Gbp genome
+    (fwd+RC text > 2^31), then seed and locate across the boundary,
+    bit-equal to the lean oracle. tools/run_big_wide_check.py is the
+    driver; its recorded output is committed in
+    tests/golden/big_wide_check.log."""
+    import subprocess
+    import sys
+
+    repo = __import__("os").path.dirname(
+        __import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+    p = subprocess.run(
+        [sys.executable, "tools/run_big_wide_check.py", "--gbp", "1.1"],
+        cwd=repo, capture_output=True, timeout=6 * 3600)
+    assert p.returncode == 0, p.stdout.decode()[-3000:] + p.stderr.decode()[-3000:]
+    assert b"ALL CHECKS PASS" in p.stdout

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # correctness check: run on the CPU backend (pop the TPU relay)
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the axon env exports JAX_PLATFORMS=axon
 
 import numpy as np
 
