@@ -283,32 +283,30 @@ class FMIndexJax:
                 "has_n": None if masked or not n_with_n else has_n,
                 "masked": masked, "nlive": nlive, "Lp": Lp, "S": S}
 
-    def seed_finish(self, job, on_wait=None):
-        """Sync the submitted round, then rerun straggler lanes
-        (repetitive-sequence scans are O(len^2)) from scratch in fixed
-        smaller buckets with a worst-case iteration cap — recompute
-        beats shipping resume state, and the closed shape set keeps the
-        compiled-program set small enough for warmup to cover. Returns
-        (n_seeds (R,), rpos/length/k0/freq (R, S)).
+    def seed_drain(self, job):
+        """Drain the submitted rounds one at a time: yields
+        (lane_ids, n, rpos, len, k0, freq) for the lanes that COMPLETED
+        in each round (lane_ids ascending), having already dispatched
+        the next straggler round before yielding — so the caller can
+        overlap its per-part host work (occurrence expansion, locate
+        dispatch) with the rerun executing on the device.
 
-        on_wait, if given, is invoked exactly once at the point where
-        this call is about to block on the device — after the last
-        round this thread can dispatch without new results — so the
-        caller can enqueue the NEXT chunk's first round behind it."""
+        Straggler policy: lanes that exhaust the iteration cap
+        (repetitive-sequence scans are O(len^2)) are re-run from
+        scratch in fixed smaller buckets with a worst-case cap —
+        recompute beats shipping resume state, and the closed shape set
+        keeps the compiled-program set small enough for warmup to
+        cover. Rerun buffers ALWAYS carry the mask columns inline
+        ([packed | nmask | rlen]): one program variant, and masked
+        rows are exactly why rerouted N-reads land here."""
         buf, nmask, has_n = job["buf"], job["nmask"], job["has_n"]
-        R, Lp, S = job["nlive"], job["Lp"], job["S"]
+        Lp, S = job["Lp"], job["S"]
         words = Lp // 16
         packed_halves = (Lp < 256 and self.max_dup_num <= 32766
                          and S % 2 == 0)
-        n_out = np.zeros(R, dtype=np.int32)
-        rpos_out = np.zeros((R, S), dtype=np.int32)
-        len_out = np.zeros((R, S), dtype=np.int32)
-        k0_out = np.zeros((R, S), dtype=np.int32)
-        freq_out = np.zeros((R, S), dtype=np.int32)
-        lane_ids = np.arange(R, dtype=np.int64)
+        lane_ids = np.arange(job["nlive"], dtype=np.int64)
         first_Rp = buf.shape[0]
-        # rerun cap covers the worst case (a maximally repetitive read
-        # rescans O(L^2/2) characters); loops exit early when all done
+        # rerun cap covers the worst case; loops exit early when done
         T_rerun = max(2048, Lp * Lp // 2)
         dev = job["dev"]
         rounds = 0
@@ -326,45 +324,51 @@ class FMIndexJax:
                 done &= has_n[lane_ids] == 0
             fin = np.nonzero(done)[0]
             ids = lane_ids[fin]
-            n_out[ids] = host[fin, 0] >> 1
+            live = np.nonzero(~done)[0]
+            if live.size:
+                lane_ids = lane_ids[live]
+                if lane_ids.size <= self._min_bucket:
+                    Rp = self._min_bucket
+                else:
+                    Rp = (max(4096, self._min_bucket)
+                          if lane_ids.size <= max(4096, self._min_bucket)
+                          else first_Rp)
+                rb = np.zeros((Rp, words + words // 2 + 1),
+                              dtype=np.uint32)
+                if job["masked"]:
+                    rb[:lane_ids.size] = buf[lane_ids]
+                else:
+                    rb[:lane_ids.size, :words] = buf[lane_ids, :words]
+                    rb[:lane_ids.size, words:words + words // 2] = \
+                        nmask[lane_ids]
+                    rb[:lane_ids.size, -1] = buf[lane_ids, words]
+                dev = self.submit_seed_round(rb, Rp, Lp, T_rerun, S,
+                                             use_nmask=True)
             rp, ln, kk, fr = _unpack_seed_host(host, fin, S, packed_halves)
+            yield (ids, (host[fin, 0] >> 1).astype(np.int32), rp, ln,
+                   kk.astype(np.int64), fr)
+            if not live.size:
+                return
+
+    def seed_finish(self, job, on_wait=None):
+        """Drain every round into full (R, S) seed tables. Returns
+        (n_seeds (R,), rpos/length/k0/freq (R, S)). on_wait, if given,
+        fires once when the final results are in."""
+        R, S = job["nlive"], job["S"]
+        n_out = np.zeros(R, dtype=np.int32)
+        rpos_out = np.zeros((R, S), dtype=np.int32)
+        len_out = np.zeros((R, S), dtype=np.int32)
+        k0_out = np.zeros((R, S), dtype=np.int64)
+        freq_out = np.zeros((R, S), dtype=np.int32)
+        for ids, nn, rp, ln, kk, fr in self.seed_drain(job):
+            n_out[ids] = nn
             rpos_out[ids] = rp
             len_out[ids] = ln
             k0_out[ids] = kk
             freq_out[ids] = fr
-            live = np.nonzero(~done)[0]
-            if live.size == 0:
-                break
-            lane_ids = lane_ids[live]
-            # straggler round: gather live rows, pad to a fixed bucket.
-            # Rerun buffers ALWAYS carry the mask columns inline
-            # ([packed | nmask | rlen]) — one program variant, and the
-            # masked rows are exactly why most N-reads land here
-            if lane_ids.size <= self._min_bucket:
-                Rp = self._min_bucket
-            else:
-                Rp = (max(4096, self._min_bucket)
-                      if lane_ids.size <= max(4096, self._min_bucket)
-                      else first_Rp)
-            rb = np.zeros((Rp, words + words // 2 + 1), dtype=np.uint32)
-            if job["masked"]:
-                rb[:lane_ids.size] = buf[lane_ids]
-            else:
-                rb[:lane_ids.size, :words] = buf[lane_ids, :words]
-                rb[:lane_ids.size, words:words + words // 2] = \
-                    nmask[lane_ids]
-                rb[:lane_ids.size, -1] = buf[lane_ids, words]
-            dev = self.submit_seed_round(rb, Rp, Lp, T_rerun, S,
-                                         use_nmask=True)
-            if on_wait is not None:
-                # straggler round is in flight: let the caller enqueue
-                # the next chunk's first round behind it now
-                on_wait()
-                on_wait = None
         if on_wait is not None:
             on_wait()
-        return (n_out, rpos_out, len_out,
-                k0_out.astype(np.int64), freq_out)
+        return n_out, rpos_out, len_out, k0_out, freq_out
 
     def submit_seed_round(self, buf, Rp, Lp, T, S=None, use_nmask=False):
         """Dispatch one seed-scan program without syncing (async relay

@@ -115,17 +115,81 @@ def submit_chunk(engine, reads):
 def finish_chunk(engine, job, on_wait=None):
     """Phase 2: sync the device rounds and expand the per-seed tables
     into flat per-occurrence tables (see seed_occurrence_tables).
-    on_wait (optional) fires once, right after this chunk's locate
-    round has been dispatched — the point where the caller should
-    submit the NEXT chunk's first seed round. (Dispatching it earlier
-    would queue it AHEAD of this chunk's locate on the device stream
-    and delay this chunk's completion by a whole seed round.)"""
+    on_wait (optional) fires once, right after this chunk's LAST
+    device round has been dispatched — the point where the caller
+    should submit the NEXT chunk's first seed round. (Dispatching it
+    earlier would queue it AHEAD of this chunk's remaining rounds on
+    the device stream and delay this chunk's completion.)"""
     kind, payload, n_reads = job
     if kind == "eager":
         return payload
+    if hasattr(engine, "seed_drain"):
+        return _expand_occurrences_pipelined(engine, payload, n_reads,
+                                             on_wait)
     n, rpos, slen, k0, freq = engine.seed_finish(payload)
     return _expand_occurrences(engine, n, rpos, slen, k0, freq, n_reads,
                                on_wait=on_wait)
+
+
+def _part_rows(nn, rpos, slen, k0, freq):
+    """Per-occurrence expansion of one drained part's seed tables:
+    returns (freq_v (n,S), rows, direct) where rows/direct are in
+    (lane, seed, within) order — the same order those lanes' occurrence
+    slots take in the global layout."""
+    S = rpos.shape[1]
+    valid = np.arange(S)[None, :] < nn[:, None]
+    direct_seed = (valid & (freq < 0)).ravel()
+    freq_v = np.where(valid, np.where(freq < 0, 1, freq), 0).astype(np.int64)
+    ops = freq_v.ravel()
+    total = int(ops.sum())
+    starts = np.repeat(k0.ravel().astype(np.int64), ops)
+    cum = np.zeros(ops.shape[0] + 1, dtype=np.int64)
+    np.cumsum(ops, out=cum[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], ops)
+    return freq_v, starts + within, np.repeat(direct_seed, ops)
+
+
+def _expand_occurrences_pipelined(engine, payload, n_reads, on_wait=None):
+    """Round-overlapped expansion: as each seed round drains, the
+    completed lanes' occurrence rows are expanded and their locate
+    dispatched IMMEDIATELY — it executes while the straggler rerun
+    (already queued ahead of it) runs, instead of the device idling
+    until every round has drained. The next chunk's seed round
+    (on_wait) queues behind everything. Results are identical to the
+    unpipelined path: parts partition the lanes, and within a part the
+    (lane, seed, within) order equals the global order restricted to
+    those lanes."""
+    S = payload["S"]
+    rpos_full = np.zeros((n_reads, S), dtype=np.int32)
+    len_full = np.zeros((n_reads, S), dtype=np.int32)
+    freq_v_full = np.zeros((n_reads, S), dtype=np.int64)
+    parts = []
+    for ids, nn, rp, ln, kk, fr in engine.seed_drain(payload):
+        rpos_full[ids] = rp
+        len_full[ids] = ln
+        freq_v, rows, direct = _part_rows(nn, rp, ln, kk, fr)
+        freq_v_full[ids] = freq_v
+        nd = ~direct
+        loc_job = engine.locate_submit(rows[nd]) if nd.any() else None
+        parts.append((ids, loc_job, rows, direct))
+    if on_wait is not None:
+        on_wait()
+    occ_off = np.zeros(n_reads + 1, dtype=np.int64)
+    per_read = freq_v_full.sum(axis=1)
+    np.cumsum(per_read, out=occ_off[1:])
+    total = int(occ_off[-1])
+    ops = freq_v_full.ravel()
+    occ_rpos = np.repeat(rpos_full.ravel(), ops)
+    occ_len = np.repeat(len_full.ravel(), ops)
+    occ_gpos = np.empty(total, dtype=np.int64)
+    lane_of_occ = np.repeat(np.arange(n_reads, dtype=np.int64), per_read)
+    pos_all = np.arange(total, dtype=np.int64)
+    for ids, loc_job, rows, direct in parts:
+        part_pos = pos_all[np.isin(lane_of_occ, ids)]
+        occ_gpos[part_pos[direct]] = rows[direct]
+        if loc_job is not None:
+            occ_gpos[part_pos[~direct]] = engine.locate_finish(loc_job)
+    return occ_off, occ_rpos, occ_len, occ_gpos
 
 
 def seed_occurrence_tables(engine, reads):

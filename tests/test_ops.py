@@ -142,3 +142,62 @@ def test_unpack_seed_host_packed_halves_roundtrip():
     rp, ln, kk, fq = _unpack_seed_host(host, np.arange(3), S, True)
     assert (rp == rpos).all() and (ln == slen).all()
     assert (kk == k0).all() and (fq == freq).all()
+
+
+def test_pipelined_expansion_matches_full_tables(toy_index):
+    """_expand_occurrences_pipelined (per-round locate dispatch) must
+    produce identical occurrence tables to the full-table path, across
+    straggler reruns and N-read rerouting."""
+    import numpy as np
+
+    from dart_tpu.ops.fm_jax import FMIndexJax
+    from dart_tpu.pipeline import seeding
+
+    eng = FMIndexJax(toy_index, lut_k=0)
+    rng = np.random.default_rng(77)
+    R, L = 64, 96
+    codes = np.empty((R, L), dtype=np.uint8)
+    for i in range(R):
+        p = int(rng.integers(0, toy_index.genome_size - L))
+        codes[i] = toy_index.ref_codes[p:p + L]
+    mut = rng.random((R, L)) < 0.05
+    codes = np.where(mut, rng.integers(0, 5, (R, L)).astype(np.uint8),
+                     codes)
+    codes[5, 30] = 4  # N-read reroute
+    codes[11] = codes[11, :1]  # maximally repetitive -> straggler round
+    rlens = np.full(R, L, dtype=np.int32)
+    rlens[7] = 17
+
+    def pack(codes, rlens):
+        Lp = max(32, -(-L // 32) * 32)
+        words = Lp // 16
+        Rp = eng._pad_up(R, eng._min_bucket)
+        cp = np.full((Rp, Lp), 4, dtype=np.uint8)
+        cp[:R, :L] = codes
+        rl = np.zeros(Rp, np.int32)
+        rl[:R] = rlens
+        in_read = np.arange(Lp)[None, :] < rl[:, None]
+        c2 = np.where(in_read, np.minimum(cp, 3), 3).astype(np.uint32)
+        buf = np.zeros((Rp, words + 1), dtype=np.uint32)
+        nmask = np.zeros((Rp, words // 2), dtype=np.uint32)
+        for k in range(16):
+            buf[:, :words] |= c2[:, k::16] << np.uint32(2 * (15 - k))
+        buf[:, words] = rl.view(np.uint32)
+        isn = (cp > 3) & in_read
+        for k in range(32):
+            nmask |= isn[:, k::32].astype(np.uint32) << np.uint32(31 - k)
+        has_n = isn.any(axis=1).astype(np.uint8)
+        return buf, nmask, has_n, int(has_n.sum()), Lp
+
+    buf, nmask, has_n, n_n, Lp = pack(codes, rlens)
+    assert n_n >= 1
+    job1 = eng.seed_submit_packed(buf.copy(), nmask, has_n, n_n, R, Lp, L)
+    fired = []
+    got = seeding._expand_occurrences_pipelined(
+        eng, job1, R, on_wait=lambda: fired.append(1))
+    assert fired == [1]
+    job2 = eng.seed_submit_packed(buf.copy(), nmask, has_n, n_n, R, Lp, L)
+    n, rp, ln, k0, fr = eng.seed_finish(job2)
+    want = seeding._expand_occurrences(eng, n, rp, ln, k0, fr, R)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
