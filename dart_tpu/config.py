@@ -30,7 +30,11 @@ class DartConfig:
     engine: str = "auto"            # auto | jax | numpy (device compute engine);
                                     # auto = jax when importable (TPU or CPU
                                     # backend), else the NumPy fallback
-    batch_reads: int = 32768  # device batch; output-invariant
+    batch_reads: int = 65536  # device batch; output-invariant.
+                              # Bigger chunks halve relay round-trips
+                              # (measured: ~1.0 s vs ~1.5 s device time
+                              # per 100k reads vs 32768) while 2+
+                              # chunks per 100k still overlap host work
     mesh: str = ""            # --mesh data=N[,index=M] multi-chip spec
     native: bool = True       # C++ host pipeline (fallback: pure Python)
     checkpoint: bool = False  # per-chunk cursor persistence + resume
