@@ -65,7 +65,7 @@ CONFIGS = {
     },
     "8mbp_pe_bam": {
         "genome": {"chr1": 5_000_000, "chr2": 3_000_000},
-        "n_reads": (N_READS // 4) * 2, "paired": True, "bam": True,
+        "n_reads": (N_READS // 2) * 2, "paired": True, "bam": True,
         "passes": 6,
     },
 }

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.loader import Index
-from .fm_jax import _pc_even, _sel4, _sel8, _unpack_seed_host  # noqa: F401
+from .fm_jax import _pc_even, _sel4, _sel8
 
 BLOCK_W = 128  # bases per wide occ-checkpoint row
 
