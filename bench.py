@@ -172,8 +172,9 @@ def _converged(times: list[float]) -> bool:
 def measure_reference(cname: str, spec: dict, ds: dict) -> float | None:
     """Reference Dart reads/s on this host, cached; also leaves the
     -t 1 SAM as the in-order parity oracle."""
-    cache = os.path.join(ds["dir"], "baseline_rate.json")
-    ref_sam = os.path.join(ds["dir"], "ref.sam")
+    n = spec["n_reads"]
+    cache = os.path.join(ds["dir"], f"baseline_rate_{n}.json")
+    ref_sam = os.path.join(ds["dir"], f"ref_{n}.sam")
     if os.path.exists(cache) and os.path.exists(ref_sam):
         return json.load(open(cache))["reads_per_sec"]
     if not os.path.exists(REF_BIN):
@@ -197,6 +198,7 @@ def measure_reference(cname: str, spec: dict, ds: dict) -> float | None:
     # separate untimed run when the formats differ
     if spec["bam"]:
         cmd = base + ["-bo", os.path.join(ds["dir"], "ref.bam")]
+
         subprocess.run(base + ["-o", ref_sam], check=True,
                        capture_output=True, timeout=3600)
     else:
@@ -279,7 +281,7 @@ def _norm_sam_line(line: str) -> str:
 def parity_check(cname: str, spec: dict, ds: dict) -> str:
     """Record-for-record IN-ORDER comparison against the reference's
     -t 1 SAM (its order is deterministic = input order, like ours)."""
-    ref_sam = os.path.join(ds["dir"], "ref.sam")
+    ref_sam = os.path.join(ds["dir"], f"ref_{spec['n_reads']}.sam")
     if not os.path.exists(ref_sam):
         return "n/a"
     with open(ref_sam) as f:
