@@ -40,6 +40,14 @@ Extensions:
          --mesh SPEC   multi-chip mesh, e.g. data=4 or data=4,index=2
                        (reads data-parallel; index range-sharded for
                        genomes beyond one chip's HBM)
+         --batch N     reads per device chunk [65536]
+         --checkpoint  per-chunk resume cursor (SAM/BAM; per host
+                       when distributed)
+         --stats       per-stage timing report
+         --profile DIR write a jax.profiler trace
+         --no-native   pure-Python host pipeline (no C++ toolchain)
+         --dist-coordinator HOST:PORT / --dist-nprocs N / --dist-pid I
+                       multi-host run via jax.distributed
 """)
 
 
