@@ -54,8 +54,31 @@ class Index:
 
 
 def deinterleave_bwt(payload: np.ndarray, seq_len: int) -> tuple[np.ndarray, np.ndarray]:
-    """Split an interleaved .bwt payload into (bwt codes, occ checkpoints)."""
+    """Split an interleaved .bwt payload into (bwt codes, occ checkpoints).
+
+    The native single-pass splitter serves big genomes (NumPy's
+    broadcasting path degrades badly past 2^31 elements — ~15 min for
+    a 2.2e9-position text vs seconds in C++); the vectorized NumPy
+    body below is the toolchain-free twin."""
     n_blocks = (seq_len + OCC_INTERVAL - 1) // OCC_INTERVAL
+    try:
+        import ctypes
+
+        from ..native import build as native_build
+
+        lib = native_build.load()
+    except Exception:
+        lib = None
+    if lib is not None and hasattr(lib, "dart_deinterleave_bwt"):
+        codes = np.empty(seq_len, dtype=np.uint8)
+        occ = np.empty((n_blocks + 1, 4), dtype=np.int64)
+        pay = np.ascontiguousarray(payload, dtype=np.uint32)
+        lib.dart_deinterleave_bwt(
+            pay.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(seq_len),
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return codes, occ
     wpb = OCC_INTERVAL // 16
     n_words = (seq_len + 15) // 16
     n_full = seq_len // OCC_INTERVAL

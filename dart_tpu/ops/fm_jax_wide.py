@@ -120,9 +120,28 @@ def _sel4_pair(c, vals):
 
 def build_device_layout_wide(idx: Index) -> np.ndarray:
     """(n_blocks, 16) uint32 rows: 4 occ lo, 4 occ hi, 8 BWT words
-    covering 128 bases (top bits first within each word)."""
+    covering 128 bases (top bits first within each word). Built by the
+    native single-pass packer when available (NumPy's broadcasting
+    path degrades badly past 2^31 elements — ~37 min at 2.2e9 text vs
+    seconds in C++); the NumPy body is the toolchain-free twin."""
     n = idx.seq_len
     n_blocks = (n + BLOCK_W - 1) // BLOCK_W
+    try:
+        import ctypes
+
+        from ..native import build as native_build
+
+        lib = native_build.load()
+    except Exception:
+        lib = None
+    if lib is not None and hasattr(lib, "dart_wide_layout"):
+        out = np.empty((n_blocks, 16), dtype=np.uint32)
+        bwt = np.ascontiguousarray(idx.bwt, dtype=np.uint8)
+        lib.dart_wide_layout(
+            bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(n),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+        return out
     padded = np.zeros(n_blocks * BLOCK_W, dtype=np.uint8)
     padded[:n] = idx.bwt
     onehot = padded.reshape(n_blocks, BLOCK_W, 1) == np.arange(4, dtype=np.uint8)

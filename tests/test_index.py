@@ -67,3 +67,46 @@ def test_pac_roundtrip(tmp_path):
         packer.write_pac(str(p), codes)
         back = packer.read_pac(str(p))
         np.testing.assert_array_equal(back, codes)
+
+
+def test_native_deinterleave_matches_numpy(toy_index, golden_dir):
+    """layout.cpp's single-pass .bwt splitter must equal the NumPy
+    twin (the native path serves >2^31-element genomes)."""
+    import numpy as np
+
+    from dart_tpu.index import loader
+    from dart_tpu.native import build as native_build
+
+    assert hasattr(native_build.load(), "dart_deinterleave_bwt")
+    with open(str(golden_dir / "index" / "toy.bwt"), "rb") as f:
+        data = f.read()
+    header = np.frombuffer(data[:40], dtype="<u8")
+    seq_len = int(header[4])
+    payload = np.frombuffer(data[40:], dtype="<u4")
+    got_c, got_o = loader.deinterleave_bwt(payload, seq_len)
+
+    # force the numpy twin by monkeypatching the native loader away
+    orig = native_build.load
+    native_build.load = lambda: None
+    try:
+        want_c, want_o = loader.deinterleave_bwt(payload, seq_len)
+    finally:
+        native_build.load = orig
+    np.testing.assert_array_equal(got_c, want_c)
+    np.testing.assert_array_equal(got_o, want_o)
+
+
+def test_native_wide_layout_matches_numpy(toy_index):
+    import numpy as np
+
+    from dart_tpu.native import build as native_build
+    from dart_tpu.ops import fm_jax_wide
+
+    got = fm_jax_wide.build_device_layout_wide(toy_index)
+    orig = native_build.load
+    native_build.load = lambda: None
+    try:
+        want = fm_jax_wide.build_device_layout_wide(toy_index)
+    finally:
+        native_build.load = orig
+    np.testing.assert_array_equal(got, want)
