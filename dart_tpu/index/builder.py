@@ -173,6 +173,49 @@ def write_sad_file(path: str, samples: np.ndarray, intv: int,
         f.write(samples.astype("<i8" if wide else "<i4").tobytes())
 
 
+def _core_native(text: np.ndarray):
+    """SA + BWT + interleaved payload via the one-call native core
+    (native/sais.cpp dart_index_core/dart_bwt_payload): no NumPy
+    concatenate/delete/fancy-gather passes, which at GRCh38 scale
+    (6.2e9 text) would each copy a 50 GB array and exceed host RAM.
+    Returns (sa_full, bwt, primary, payload) where sa_full has n+1
+    entries with sa_full[0] == n (the sentinel row), so BWA's
+    sa_bwa = [n] ++ sa is literally sa_full."""
+    import ctypes
+
+    from ..native import build as native_build
+
+    lib = native_build.load()
+    if lib is None:
+        return None
+    n = int(text.shape[0])
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    sa_full = np.empty(n + 1, dtype=np.int64)
+    bwt = np.empty(n, dtype=np.uint8)
+    fn = lib.dart_index_core
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                   ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                   ctypes.POINTER(ctypes.c_uint8)]
+    K = int(text.max()) + 2
+    primary = fn(text.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                 n, K,
+                 sa_full.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                 bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if primary < 0:
+        raise RuntimeError("native index core failed")
+    n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
+    n_words = (n + 15) // 16
+    payload = np.empty(n_words + (n_blocks + 1) * 8, dtype="<u4")
+    pf = lib.dart_bwt_payload
+    pf.restype = None
+    pf.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                   ctypes.POINTER(ctypes.c_uint32)]
+    pf(bwt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+       payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return sa_full, bwt, int(primary), payload
+
+
 def build_index(fasta_path: str, prefix: str, seed: int = 11,
                 sad_intv: int = SAD_INTERVAL) -> None:
     """Build all five BWA-compatible index files for `fasta_path` under
@@ -181,11 +224,21 @@ def build_index(fasta_path: str, prefix: str, seed: int = 11,
     text = full_text(pg.seq2)
     seq_len = int(text.shape[0])
 
-    sa = suffix_array(text)
-    bwt, primary = bwt_from_sa(text, sa)
-    L2 = compute_L2(text)
-    payload = interleave_bwt_fast(bwt)
-    samples = sample_sa(sa, seq_len)
+    core = _core_native(text)
+    if core is not None:
+        sa_full, bwt, primary, payload = core
+        del text
+        # the BWT is a permutation of the text, so L2 from its counts
+        L2 = compute_L2(bwt)
+        samples = sa_full[::SA_INTERVAL]
+        sample = lambda intv: sa_full[::intv]  # noqa: E731
+    else:
+        sa = suffix_array(text)
+        bwt, primary = bwt_from_sa(text, sa)
+        L2 = compute_L2(text)
+        payload = interleave_bwt_fast(bwt)
+        samples = sample_sa(sa, seq_len)
+        sample = lambda intv: sample_sa(sa, seq_len, intv)  # noqa: E731
 
     write_bwt_file(prefix + ".bwt", primary, L2, payload)
     write_sa_file(prefix + ".sa", primary, L2, samples, seq_len)
@@ -198,5 +251,4 @@ def build_index(fasta_path: str, prefix: str, seed: int = 11,
         # with straggler compaction)
         wide = seq_len >= 2**31
         intv = max(sad_intv, SA_INTERVAL) if wide else sad_intv
-        write_sad_file(prefix + ".sad", sample_sa(sa, seq_len, intv),
-                       intv, wide=wide)
+        write_sad_file(prefix + ".sad", sample(intv), intv, wide=wide)

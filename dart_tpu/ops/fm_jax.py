@@ -306,8 +306,11 @@ class FMIndexJax:
                          and S % 2 == 0)
         lane_ids = np.arange(job["nlive"], dtype=np.int64)
         first_Rp = buf.shape[0]
-        # rerun cap covers the worst case; loops exit early when done
-        T_rerun = max(2048, Lp * Lp // 2)
+        # rerun cap covers the closed-form worst case: a scan that
+        # restarts at every position and extends to the read end costs
+        # (L+1)(L+2)/2 steps (loops exit early when done, so oversizing
+        # only costs masked device iterations on the rare rerun path)
+        T_rerun = max(2048, (Lp + 1) * (Lp + 2) // 2)
         dev = job["dev"]
         rounds = 0
         while lane_ids.size:

@@ -593,7 +593,9 @@ class FMIndexJaxWide:
         freq_out = np.zeros((R, S), dtype=np.int32)
         lane_ids = np.arange(R, dtype=np.int64)
         first_Rp = buf.shape[0]
-        T_rerun = max(2048, Lp * Lp // 2)
+        # closed-form worst-case cap: a scan that restarts at every
+        # position and extends to the read end costs (L+1)(L+2)/2 steps
+        T_rerun = max(2048, (Lp + 1) * (Lp + 2) // 2)
         dev = job["dev"]
         rounds = 0
         while lane_ids.size:
