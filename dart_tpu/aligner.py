@@ -94,8 +94,15 @@ def make_engine(idx: Index, cfg: DartConfig):
 
                 index_mesh = Mesh(_np.asarray(jax.devices()[:index_n]),
                                   ("index",))
+            if data_n > 1:
+                import warnings
+
+                warnings.warn(
+                    "--mesh data=%d is not yet wired into the wide "
+                    "(>2^31) engine; running data-unsharded" % data_n,
+                    stacklevel=2)
             return FMIndexJaxWide(idx, max_dup_num=cfg.max_dup_num,
-                                  index_mesh=index_mesh)
+                                  index_mesh=index_mesh, lut_k=lut_k)
         if data_n > 1 or index_n > 1:
             from .parallel.mesh import ShardedFMIndex, make_mesh
 

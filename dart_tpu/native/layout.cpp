@@ -90,4 +90,25 @@ void dart_wide_layout(const uint8_t* bwt, int64_t seq_len,
   }
 }
 
+// Pack 2-bit codes into u32 words, 16 codes per word, first code in
+// the top bits (bwt.h bwt_B00 layout); codes > 3 clamp to 3 (ambiguous
+// bases force mismatches via the separate N mask). out must hold
+// ceil(n/16) words; trailing pad bits are 0. Used for the wide
+// engine's genome rows (ref_codes packing degrades badly in NumPy
+// past 2^31 elements, like the layouts above).
+void dart_pack_codes(const uint8_t* codes, int64_t n, uint32_t* out) {
+  const int64_t n_words = (n + 15) / 16;
+  for (int64_t w = 0; w < n_words; ++w) {
+    uint32_t acc = 0;
+    const int64_t start = w * 16;
+    const int kmax = (int)(n - start < 16 ? n - start : 16);
+    for (int k = 0; k < kmax; ++k) {
+      uint8_t c = codes[start + k];
+      if (c > 3) c = 3;
+      acc |= (uint32_t)c << (2 * (15 - k));
+    }
+    out[w] = acc;
+  }
+}
+
 }  // extern "C"

@@ -108,7 +108,7 @@ class FMIndexJax:
     def __init__(self, idx: Index, device=None, max_dup_num: int = 100,
                  lut_k: int = 0, data_mesh=None):
         index_shards = 1
-        tab_device = sad_device = device
+        tab_device = device
         self._walk_sh = {}
         if data_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -125,12 +125,9 @@ class FMIndexJax:
             index_shards = int(dict(data_mesh.shape).get("index", 1))
             tab_device = (NamedSharding(data_mesh, P("index", None))
                           if index_shards > 1 else rep)
-            sad_device = (NamedSharding(data_mesh, P("index"))
-                          if index_shards > 1 else rep)
             self._seed_sh = dict(in_shardings=(tab_device, rep, rep, d2),
                                  out_shardings=d2)
-            self._loc_sh = dict(in_shardings=(tab_device, rep, sad_device,
-                                              d1),
+            self._loc_sh = dict(in_shardings=(tab_device, rep, d1),
                                 out_shardings=d1)
             self._walk_sh = dict(in_shardings=(tab_device, rep, d2, d2),
                                  out_shardings=(d1, d1, d1))
@@ -149,11 +146,9 @@ class FMIndexJax:
         else:
             samples_np = idx.sa_samples.astype(np.int32)
             self.sa_intv = int(idx.sa_intv)
-        if index_shards > 1 and samples_np.shape[0] % index_shards:
-            samples_np = np.concatenate(
-                [samples_np, np.zeros((-samples_np.shape[0]) % index_shards,
-                                      np.int32)])
-        self.sa_samples = jax.device_put(samples_np, sad_device)
+        # the samples ride ONLY as sad rows of the merged table below
+        # (locate reads them through the same gather path); a separate
+        # device copy would double SA-sample HBM — ~1 GB at 2^31 text
         self.primary = int(idx.primary)
         self.seq_len = int(idx.seq_len)
         self.max_dup_num = int(max_dup_num)
@@ -435,9 +430,9 @@ class FMIndexJax:
         if key not in self._locate_jit:
             self._locate_jit[key] = jax.jit(functools.partial(
                 _locate_packed, primary=self.primary,
-                sa_intv=self.sa_intv, max_iters=T), **self._loc_sh)
-        return self._locate_jit[key](self.blocks, self.L2, self.sa_samples,
-                                     jnp.asarray(kp))
+                sa_intv=self.sa_intv, sad_off=self.sad_off,
+                max_iters=T), **self._loc_sh)
+        return self._locate_jit[key](self.blocks, self.L2, jnp.asarray(kp))
 
     def locate_submit(self, rows: np.ndarray):
         """Dispatch the first locate round without syncing, so the
@@ -991,27 +986,30 @@ def _seed_scan_kernel(table, L2, codes, rlens, state, *, primary, max_dup,
 _LOCATE_UNFINISHED = -(2**31)
 
 
-def _locate_packed(blocks, L2, sa_samples, k, *, primary, sa_intv, max_iters):
+def _locate_packed(blocks, L2, k, *, primary, sa_intv, sad_off, max_iters):
     """Transfer-minimal wrapper for _locate_kernel: ONE (N,) int32 out;
     lanes that exhausted the iteration cap carry the sentinel and are
     re-run from scratch by the host. Locations fit int32 (device
     layouts require seq_len < 2^31)."""
     steps = jnp.zeros_like(k)
-    k2, _, loc = _locate_kernel(blocks, L2, sa_samples, k, steps,
+    k2, _, loc = _locate_kernel(blocks, L2, k, steps,
                                 primary=primary, sa_intv=sa_intv,
-                                max_iters=max_iters)
+                                sad_off=sad_off, max_iters=max_iters)
     finished = (k2 & (sa_intv - 1)) == 0
     return jnp.where(finished, loc.astype(jnp.int32),
                      jnp.int32(_LOCATE_UNFINISHED))
 
 
-def _locate_kernel(blocks, L2, sa_samples, k, steps, *, primary, sa_intv,
+def _locate_kernel(blocks, L2, k, steps, *, primary, sa_intv, sad_off,
                    max_iters):
     """Batched bwt_sa: LF-walk each row until it hits a sampled row
     (row index % intv == 0), then add the sample
     (bwt_search.cpp:127-137). One merged row gather per iteration
-    serves both the BWT character read and the Occ count. Bounded at
-    max_iters; returns (k, steps, locations) for host-side resume."""
+    serves both the BWT character read and the Occ count; the final
+    sample is read from the table's own sad region (8 samples per
+    8-word row at sad_off), so no separate sample array rides in HBM.
+    Bounded at max_iters; returns (k, steps, locations) for host-side
+    resume."""
     mask = sa_intv - 1
 
     def cond(carry):
@@ -1049,4 +1047,8 @@ def _locate_kernel(blocks, L2, sa_samples, k, steps, *, primary, sa_intv,
         return (k2, steps2, it + 1)
 
     k, steps, _ = jax.lax.while_loop(cond, body, (k, steps, jnp.int32(0)))
-    return k, steps, steps + sa_samples[k // sa_intv]
+    srow = k // sa_intv
+    srows = blocks[sad_off + (srow >> 3)]
+    sample = jax.lax.bitcast_convert_type(
+        _sel8(srow & 7, [srows[:, j] for j in range(8)]), jnp.int32)
+    return k, steps, steps + sample

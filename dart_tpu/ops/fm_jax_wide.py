@@ -16,10 +16,13 @@ TPU-first design decisions:
   checkpoint interval (bwt_search.cpp:3-5).
 - Same automaton/dataflow as the narrow engine (ops/fm_jax.py): each
   loop iteration issues exactly one merged 2R-row gather, everything
-  else is flat (R,) uint32/int32 VPU work. The v1 wide automaton runs
-  the pure scan (no K-mer LUT, no single-occurrence fast-extension) —
-  bit-equal to the reference scan semantics; the fast paths are
-  optimizations, not semantics, and can be grafted on later.
+  else is flat (R,) uint32/int32 VPU work — including the narrow
+  engine's fast paths, widened to pair state: the K-mer LUT init
+  (consume K characters in one iteration) and the single-occurrence
+  fast-extension modes (LF-walk to the lone occurrence, then finish
+  the maximal match by direct genome comparison 16 bases/iteration).
+  Packed genome words and SA samples ride as extra 16-word rows of
+  the same merged table, so every mode is served by the same gather.
 - Index sharding for genomes larger than one chip's HBM: pass
   index_mesh and the block/sad tables are placed with
   PartitionSpec("index", None); XLA GSPMD partitions every row gather
@@ -38,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.loader import Index
-from .fm_jax import _pc_even, _sel4, _sel8
+from .fm_jax import _clz32, _pc_even, _sel4, _sel8
 
 BLOCK_W = 128  # bases per wide occ-checkpoint row
 
@@ -255,18 +258,128 @@ def _backward_ext_wide(L2lo, L2hi, x0, x1, x2, tk, tl, primary: int):
     return starts, tuple(nx1), w
 
 
+def _sel16(i, cols):
+    """Per-lane 16-way select by i in 0..15 from 16 column vectors."""
+    lo = _sel8(i & 7, cols[:8])
+    hi = _sel8(i & 7, cols[8:])
+    return jnp.where(i >= 8, hi, lo)
+
+
+def _lut_extend_wide(blocks, L2lo, L2hi, x0, x1, x2, *, primary):
+    """One wide LUT-build level (see the narrow _lut_extend): extend
+    every parent walk state by each of the 4 bases, children
+    interleaved. All state as (lo, hi) pairs. Dead parents stay dead."""
+    alive = _p_nonzero(*x2)
+    zero = jnp.zeros_like(x0[0])
+    q1 = _p_add_i32(x1[0], x1[1], jnp.int32(-1))
+    q2 = _p_add(q1[0], q1[1], x2[0], x2[1])
+    q1 = _p_where(alive, q1[0], q1[1], zero, zero)
+    q2 = _p_where(alive, q2[0], q2[1], zero, zero)
+    tk, tl = _occ4_pair_wide(blocks, q1, q2, primary)
+    starts, nx1, w = _backward_ext_wide(L2lo, L2hi, x0, x1, x2, tk, tl,
+                                        primary)
+    n4 = 4 * x0[0].shape[0]
+
+    def gather_children(vals):
+        lo = jnp.stack([vals[3 - c][0] for c in range(4)], axis=1)
+        hi = jnp.stack([vals[3 - c][1] for c in range(4)], axis=1)
+        return lo, hi
+
+    cx0 = gather_children(starts)
+    cx1 = gather_children(nx1)
+    cw = gather_children(w)
+    ok = alive[:, None] & ((cw[0] | cw[1]) != 0)
+    z = jnp.uint32(0)
+    return ((jnp.where(ok, cx0[0], z).reshape(n4),
+             jnp.where(ok, cx0[1], z).reshape(n4)),
+            (jnp.where(ok, cx1[0], z).reshape(n4),
+             jnp.where(ok, cx1[1], z).reshape(n4)),
+            (jnp.where(ok, cw[0], z).reshape(n4),
+             jnp.where(ok, cw[1], z).reshape(n4)))
+
+
+def build_lut_wide(blocks, L2lo, L2hi, primary: int, K: int):
+    """Wide K-mer walk-state LUT (see the narrow build_lut): for every
+    K-mer, the bidirectional interval after its K characters, as
+    (4^K, 6) uint32 rows [x0lo, x0hi, x1lo, x1hi, x2lo, x2hi]
+    (x2 == 0 marks a dead walk)."""
+    c = np.arange(4, dtype=np.int32)
+    l2 = np.asarray(L2lo).astype(np.uint64) | (
+        np.asarray(L2hi).astype(np.uint64) << 32)
+    x0 = _split64((l2[c] + 1).view(np.int64))
+    x1 = _split64((l2[3 - c] + 1).view(np.int64))
+    x2 = _split64((l2[c + 1] - l2[c]).view(np.int64))
+    ext = jax.jit(functools.partial(_lut_extend_wide, primary=primary))
+    x0 = tuple(map(jnp.asarray, x0))
+    x1 = tuple(map(jnp.asarray, x1))
+    x2 = tuple(map(jnp.asarray, x2))
+    for _ in range(K - 1):
+        x0, x1, x2 = ext(blocks, L2lo, L2hi, x0, x1, x2)
+    return jax.jit(lambda a, b, d: jnp.stack(
+        [a[0], a[1], b[0], b[1], d[0], d[1]], axis=1))(x0, x1, x2)
+
+
 def _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens, *, primary,
-                           max_dup, max_seeds, max_iters):
+                           max_dup, max_seeds, max_iters, lut=None,
+                           lut_k=0, ref_off=0, sad_off=0, sa_intv=0,
+                           seq_len=0):
     """Wide device automaton replaying the reference seeding scan
     (IdentifySeedPairs, AlignmentCandidates.cpp:188-211) with 64-bit
     interval state as uint32 pairs. One lane per read; same control
-    flow as the narrow _seed_scan_kernel minus the LUT/fast-extension
-    modes. Emits (done, nseeds, rpos, len, k0_lo, k0_hi, freq)."""
+    flow and fast paths as the narrow _seed_scan_kernel:
+
+    - K-mer LUT init (lut/lut_k): consume K characters in one
+      iteration; states for every position are pre-gathered once.
+    - Fast extension (ref_off/sad_off): a walk whose interval narrows
+      to one occurrence LF-walks to its text position (mode LOCATE,
+      pair row state) and finishes the maximal match by comparing the
+      read against the genome 16 bases per iteration (mode COMPARE).
+      Such seeds emit freq == -1 with the genome position pair in the
+      k0 slots. Genome words (16 words = 256 bases/row) and SA samples
+      (8 pairs/row: [lo x8 | hi x8]) live as extra rows of the same
+      table, so every mode shares the single 2R-row gather.
+
+    Emits (done, nseeds, rpos, len, k0_lo, k0_hi, freq)."""
     R, L = codes.shape
     S = max_seeds
+    fast = ref_off > 0 and sa_intv > 0 and (sa_intv & (sa_intv - 1)) == 0
     codes_i = codes.astype(jnp.int32)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     zero = jnp.zeros(R, jnp.uint32)
+    use_lut = lut is not None and lut_k > 0
+    if use_lut:
+        key = jnp.zeros((R, L), jnp.int32)
+        bad = jnp.zeros((R, L), jnp.bool_)
+        for j in range(lut_k):
+            cj = jnp.concatenate(
+                [codes_i[:, j:], jnp.full((R, j), 4, jnp.int32)], axis=1)
+            key = (key << 2) | jnp.minimum(cj, 3)
+            bad = bad | (cj > 3)
+        pre = lut[jnp.where(bad, 0, key).reshape(-1)].reshape(R, L, 6)
+        li = [pre[..., j] for j in range(6)]
+        deadm = bad[..., None]
+        li[4] = jnp.where(bad, jnp.uint32(0), li[4])
+        li[5] = jnp.where(bad, jnp.uint32(0), li[5])
+        del deadm
+    if fast:
+        # read codes packed 16/word (top-first) + an N mask that forces
+        # mismatches; one pad word so reads at (q>>4)+1 stay in range
+        Lw = L // 16
+        rwords = jnp.zeros((R, Lw + 1), jnp.uint32)
+        nwords = jnp.zeros((R, Lw + 1), jnp.uint32)
+        for k in range(16):
+            c = codes_i[:, k::16]
+            sh = jnp.uint32(2 * (15 - k))
+            rwords = rwords.at[:, :Lw].add(
+                jnp.minimum(c, 3).astype(jnp.uint32) << sh)
+            nwords = nwords.at[:, :Lw].add(
+                jnp.where(c > 3, jnp.uint32(3), jnp.uint32(0)) << sh)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, Lw + 1), 1)
+        sa_shift = int(sa_intv).bit_length() - 1
+        sa_mask = jnp.uint32(sa_intv - 1)
+        slenlo, slenhi = _p_const(seq_len)
+        slenlo = jnp.uint32(slenlo)
+        slenhi = jnp.uint32(slenhi)
 
     end_pos = jnp.maximum(rlens - 13, 0)
     pos = jnp.zeros(R, jnp.int32)
@@ -275,6 +388,10 @@ def _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens, *, primary,
     x1 = (zero, zero)
     x2 = (zero, zero)
     nseeds = jnp.zeros(R, jnp.int32)
+    mode = jnp.zeros(R, jnp.int32)   # 0 scan, 1 locate, 2 compare
+    lk = (zero, zero)                # LOCATE: current row (pair)
+    steps = jnp.zeros(R, jnp.int32)  # LOCATE: LF steps taken
+    gb = (zero, zero)                # COMPARE: occurrence pos - pos (pair)
     done = pos >= end_pos
     out_rpos = jnp.zeros((S, R), jnp.int32)
     out_len = jnp.zeros((S, R), jnp.int32)
@@ -290,13 +407,30 @@ def _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens, *, primary,
     def body(outer_st):
         st, it = outer_st
         (done, pos, cur, x0lo, x0hi, x1lo, x1hi, x2lo, x2hi, nseeds,
+         mode, lklo, lkhi, steps, gblo, gbhi,
          out_rpos, out_len, out_k0lo, out_k0hi, out_freq) = st
         x0 = (x0lo, x0hi)
         x1 = (x1lo, x1hi)
         x2 = (x2lo, x2hi)
 
         initing = (~done) & (cur == pos)
-        scanning = (~done) & (cur > pos)
+        working = (~done) & (cur > pos)
+        scanning = working & (mode == 0)
+        if fast:
+            # a fresh x2==1 lane starts its LF walk THIS iteration
+            to_loc = (scanning & (x2[0] == 1) & (x2[1] == 0)
+                      & (cur < rlens))
+            scanning = scanning & ~to_loc
+            locating = (working & (mode == 1)) | to_loc
+            comparing = working & (mode == 2)
+            lk_eff = _p_where(to_loc, x0[0], x0[1], lklo, lkhi)
+            steps_eff = jnp.where(to_loc, 0, steps)
+        else:
+            to_loc = jnp.zeros_like(scanning)
+            locating = to_loc
+            comparing = to_loc
+            lk_eff = (lklo, lkhi)
+            steps_eff = steps
 
         safe_cur = jnp.minimum(cur, L - 1)
         oh = iota_l == safe_cur[:, None]
@@ -305,39 +439,141 @@ def _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens, *, primary,
         amb = ch > 3
         c_safe = jnp.minimum(ch, 3)
 
-        # ---- init values (BWT_Search init, bwt_search.cpp:139-147) ----
-        i_x0 = _p_add_i32(*_l2_pair(L2lo, L2hi, c_safe), jnp.int32(1))
-        i_x1 = _p_add_i32(*_l2_pair(L2lo, L2hi, 3 - c_safe), jnp.int32(1))
-        i_x2 = _p_sub(*_l2_pair(L2lo, L2hi, c_safe + 1),
-                      *_l2_pair(L2lo, L2hi, c_safe))
-        init_ok = ~amb
+        # ---- init values ----
+        if use_lut:
+            i_vals = [jnp.sum(jnp.where(oh, v, jnp.uint32(0)), axis=1,
+                              dtype=jnp.uint32) for v in li]
+            i_x0 = (i_vals[0], i_vals[1])
+            i_x1 = (i_vals[2], i_vals[3])
+            i_x2 = (i_vals[4], i_vals[5])
+            init_ok = (i_vals[4] | i_vals[5]) != 0
+            init_jump = lut_k
+        else:
+            i_x0 = _p_add_i32(*_l2_pair(L2lo, L2hi, c_safe), jnp.int32(1))
+            i_x1 = _p_add_i32(*_l2_pair(L2lo, L2hi, 3 - c_safe),
+                              jnp.int32(1))
+            i_x2 = _p_sub(*_l2_pair(L2lo, L2hi, c_safe + 1),
+                          *_l2_pair(L2lo, L2hi, c_safe))
+            init_ok = ~amb
+            init_jump = 1
 
-        # ---- THE gather ----
+        # ---- THE gather: one 2R-row fetch serves every mode + init ----
         q1 = _p_add_i32(x1[0], x1[1], jnp.int32(-1))
         q2 = _p_add(q1[0], q1[1], x2[0], x2[1])
-        q1 = _p_where(scanning, q1[0], q1[1], zero, zero)
+        q1 = _p_where(scanning, q1[0], q1[1], *lk_eff)
+        q1 = _p_where(scanning | locating, q1[0], q1[1], zero, zero)
         q2 = _p_where(scanning, q2[0], q2[1], zero, zero)
-        tk, tl = _occ4_pair_wide(blocks, q1, q2, primary)
-        starts, nx1, w = _backward_ext_wide(L2lo, L2hi, x0, x1, x2, tk, tl,
-                                            primary)
+        k1lo, k1hi, rowA = _adjust_k(q1[0], q1[1], primary)
+        k2lo, k2hi, rowB = _adjust_k(q2[0], q2[1], primary)
+        if fast:
+            loc_hit = locating & ((lk_eff[0] & sa_mask) == 0)
+            goff = _p_add_i32(gblo, gbhi, cur)
+            gsafe = _p_where(comparing, goff[0], goff[1], zero, zero)
+            grow_lo, _ = _p_shr(gsafe[0], gsafe[1], 8)
+            grow = grow_lo.astype(jnp.int32)
+            srow_lo, _ = _p_shr(lk_eff[0], lk_eff[1], sa_shift)
+            srow = srow_lo.astype(jnp.int32)
+            rowA = jnp.where(comparing, ref_off + grow,
+                             jnp.where(loc_hit, sad_off + (srow >> 3),
+                                       rowA))
+            rowB = jnp.where(comparing, ref_off + grow + 1, rowB)
+        else:
+            loc_hit = to_loc
+        rows = blocks[jnp.concatenate([rowA, rowB])]   # (2R, 16), one gather
+        colsA = [rows[:R, j] for j in range(16)]
+        colsB = [rows[R:, j] for j in range(16)]
+        occA = _occ4_cols_wide(colsA, k1lo, k1hi)  # tk (scan) / occ (locate)
+        occB = _occ4_cols_wide(colsB, k2lo, k2hi)  # tl (scan)
+
+        # ---- scan step ----
+        starts, nx1, w = _backward_ext_wide(L2lo, L2hi, x0, x1, x2,
+                                            occA, occB, primary)
         ci = 3 - c_safe
         wi = _sel4_pair(ci, w)
         can_extend = scanning & ~amb & _p_nonzero(*wi)
         scan_end = scanning & ~can_extend
 
+        if fast:
+            # ---- locate step (bwt_sa LF walk, row already fetched) ----
+            loc_step = locating & ~loc_hit
+            word = _sel8(((k1lo >> 4) & 7).astype(jnp.int32),
+                         [colsA[8 + j] for j in range(8)])
+            shift = ((~k1lo & 15) << 1).astype(jnp.uint32)
+            cbit = ((word >> shift) & 3).astype(jnp.int32)
+            occ_c = _sel4_pair(cbit, occA)
+            l2c = _l2_pair(L2lo, L2hi, cbit)
+            lk_next = _p_add(occ_c[0], occ_c[1], l2c[0], l2c[1])
+            plo_c, phi_c = _p_const(primary)
+            at_primary = _p_eq(lk_eff[0], lk_eff[1],
+                               jnp.uint32(plo_c), jnp.uint32(phi_c))
+            lk_next = _p_where(at_primary, zero, zero,
+                               lk_next[0], lk_next[1])
+            # sad value: this lane's sample pair from its (sad) row
+            sidx = srow & 7
+            sad_val = (_sel8(sidx, colsA[:8]), _sel8(sidx, colsA[8:]))
+            g_abs = _p_add_i32(sad_val[0], sad_val[1], steps_eff)
+
+            # ---- compare step: 16 bases per iteration ----
+            jword = ((gsafe[0] >> 4) & 15).astype(jnp.int32)
+            gw1 = _sel16(jword, colsA)
+            gw2 = jnp.where(jword < 15, _sel16(jword + 1, colsA), colsB[0])
+            aoff = ((gsafe[0] & 15) << 1).astype(jnp.uint32)
+            gw = jnp.where(aoff == 0, gw1,
+                           (gw1 << aoff) | (gw2 >> (jnp.uint32(32) - aoff)))
+            qw = cur >> 4
+            ohw = iota_w == jnp.minimum(qw, Lw)[:, None]
+            ohw2 = iota_w == jnp.minimum(qw + 1, Lw)[:, None]
+            rw1 = jnp.sum(jnp.where(ohw, rwords, 0), axis=1)
+            rw2 = jnp.sum(jnp.where(ohw2, rwords, 0), axis=1)
+            nm1 = jnp.sum(jnp.where(ohw, nwords, 0), axis=1)
+            nm2 = jnp.sum(jnp.where(ohw2, nwords, 0), axis=1)
+            boff = ((cur & 15) << 1).astype(jnp.uint32)
+            rw = jnp.where(boff == 0, rw1,
+                           (rw1 << boff) | (rw2 >> (jnp.uint32(32) - boff)))
+            nm = jnp.where(boff == 0, nm1,
+                           (nm1 << boff) | (nm2 >> (jnp.uint32(32) - boff)))
+            v = (gw ^ rw) | nm
+            matched16 = jnp.where(v == 0, 16, _clz32(v) >> 1)
+            # avail = min(16, rlens - cur, seq_len - goff), floored at 0
+            diff = _p_sub(slenlo, slenhi, goff[0], goff[1])
+            neg = diff[1] == jnp.uint32(0xFFFFFFFF)
+            avail_seq = jnp.where(
+                neg, 0,
+                jnp.where((diff[1] != 0) | (diff[0] >= 16), 16,
+                          diff[0].astype(jnp.int32)))
+            avail = jnp.minimum(jnp.minimum(16, rlens - cur), avail_seq)
+            matched = jnp.minimum(matched16, jnp.maximum(avail, 0))
+            cur_c = cur + jnp.where(comparing, matched, 0)
+            goff_c = _p_add_i32(gblo, gbhi, cur_c)
+            g_end = ~_p_lt(goff_c[0], goff_c[1], slenlo, slenhi)
+            cmp_end = comparing & ((matched < 16) | (cur_c >= rlens)
+                                   | g_end)
+        else:
+            loc_step = to_loc
+            lk_next = lk_eff
+            g_abs = (zero, zero)
+            cur_c = cur
+            cmp_end = to_loc
+
         # ---- seed end: accept/emit/jump ----
-        length = cur - pos
-        acc = (scan_end & _p_le(x2[0], x2[1], jnp.uint32(mdlo),
-                                jnp.uint32(mdhi)) & (length >= 16))
+        any_end = scan_end | cmp_end
+        length = jnp.where(cmp_end, cur_c, cur) - pos
+        acc_scan = (scan_end & _p_le(x2[0], x2[1], jnp.uint32(mdlo),
+                                     jnp.uint32(mdhi)) & (length >= 16))
+        acc_cmp = cmp_end & (length >= 16)  # unique: freq 1 <= max_dup
+        acc = acc_scan | acc_cmp
+        gpos = _p_add_i32(gblo, gbhi, pos)
+        k0_val = _p_where(cmp_end, gpos[0], gpos[1], x0[0], x0[1])
+        fr_val = jnp.where(cmp_end, -1, x2[0].astype(jnp.int32))
 
         def emit(args):
             o_rpos, o_len, o_k0lo, o_k0hi, o_freq = args
             hit = acc[None, :] & (slot_ids == nseeds[None, :])
             return (jnp.where(hit, pos[None, :], o_rpos),
                     jnp.where(hit, length[None, :], o_len),
-                    jnp.where(hit, x0[0][None, :], o_k0lo),
-                    jnp.where(hit, x0[1][None, :], o_k0hi),
-                    jnp.where(hit, x2[0].astype(jnp.int32)[None, :], o_freq))
+                    jnp.where(hit, k0_val[0][None, :], o_k0lo),
+                    jnp.where(hit, k0_val[1][None, :], o_k0hi),
+                    jnp.where(hit, fr_val[None, :], o_freq))
 
         out_rpos, out_len, out_k0lo, out_k0hi, out_freq = jax.lax.cond(
             jnp.any(acc), emit, lambda a: a,
@@ -345,10 +581,12 @@ def _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens, *, primary,
         nseeds = jnp.where(acc, nseeds + 1, nseeds)
 
         # ---- state update ----
-        new_pos = jnp.where(scan_end, jnp.where(acc, pos + length, pos + 1),
+        new_pos = jnp.where(any_end, jnp.where(acc, pos + length, pos + 1),
                             jnp.where(initing & ~init_ok, pos + 1, pos))
         new_cur = jnp.where(can_extend, cur + 1,
-                            jnp.where(initing & init_ok, cur + 1, new_pos))
+                            jnp.where(initing & init_ok, cur + init_jump,
+                            jnp.where(comparing & ~cmp_end, cur_c,
+                            jnp.where(locating, cur, new_pos))))
         sel = _sel4_pair(ci, starts)
         nx1s = _sel4_pair(ci, nx1)
         x0n = _p_where(can_extend, sel[0], sel[1],
@@ -360,27 +598,50 @@ def _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens, *, primary,
         x2n = _p_where(can_extend, wi[0], wi[1],
                        *_p_where(initing & init_ok, i_x2[0], i_x2[1],
                                  x2[0], x2[1]))
+        if fast:
+            mode_n = jnp.where(loc_hit & locating, 2,
+                               jnp.where(to_loc, 1,
+                                         jnp.where(any_end, 0, mode)))
+            lk_n = _p_where(locating,
+                            *_p_where(loc_step, lk_next[0], lk_next[1],
+                                      *lk_eff),
+                            lklo, lkhi)
+            steps_n = jnp.where(locating,
+                                jnp.where(loc_step, steps_eff + 1,
+                                          steps_eff), steps)
+            gb_base = _p_add_i32(g_abs[0], g_abs[1], -pos)
+            gb_n = _p_where(loc_hit & locating, gb_base[0], gb_base[1],
+                            gblo, gbhi)
+        else:
+            mode_n = mode
+            lk_n = (lklo, lkhi)
+            steps_n = steps
+            gb_n = (gblo, gbhi)
         done = done | (new_pos >= end_pos)
         return ((done, new_pos, new_cur, x0n[0], x0n[1], x1n[0], x1n[1],
                  x2n[0], x2n[1], nseeds,
+                 mode_n, lk_n[0], lk_n[1], steps_n, gb_n[0], gb_n[1],
                  out_rpos, out_len, out_k0lo, out_k0hi, out_freq),
                 it + 1)
 
     st = (done, pos, cur, x0[0], x0[1], x1[0], x1[1], x2[0], x2[1], nseeds,
+          mode, lk[0], lk[1], steps, gb[0], gb[1],
           out_rpos, out_len, out_k0lo, out_k0hi, out_freq)
     st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(0)))
-    (done, _, _, _, _, _, _, _, _, nseeds,
+    (done, _, _, _, _, _, _, _, _, nseeds, _, _, _, _, _, _,
      out_rpos, out_len, out_k0lo, out_k0hi, out_freq) = st
     return done, nseeds, out_rpos, out_len, out_k0lo, out_k0hi, out_freq
 
 
-def _seed_scan_packed_wide(blocks, L2lo, L2hi, buf, *,
+def _seed_scan_packed_wide(blocks, L2lo, L2hi, lut, buf, *,
                            primary, max_dup, max_seeds, max_iters,
-                           read_len, use_nmask=True):
+                           read_len, lut_k=0, ref_off=0, sad_off=0,
+                           sa_intv=0, seq_len=0, use_nmask=True):
     """Transfer-minimal wrapper (see narrow _seed_scan_packed): one
     merged uint32 input buffer [packed codes | nmask iff use_nmask |
     rlen]; one packed int32 result buffer [done|nseeds<<1,
-    (rpos<<16|len) x S, k0_lo x S, k0_hi x S, freq x S]."""
+    (rpos<<16|len) x S, k0_lo x S, k0_hi x S, freq x S] (freq == -1
+    marks a direct seed whose k0 pair holds the genome position)."""
     S = max_seeds
     R = buf.shape[0]
     words = read_len // 16
@@ -402,7 +663,10 @@ def _seed_scan_packed_wide(blocks, L2lo, L2hi, buf, *,
     done, nseeds, o_rpos, o_len, o_k0lo, o_k0hi, o_freq = (
         _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens,
                                primary=primary, max_dup=max_dup,
-                               max_seeds=S, max_iters=max_iters))
+                               max_seeds=S, max_iters=max_iters,
+                               lut=lut, lut_k=lut_k, ref_off=ref_off,
+                               sad_off=sad_off, sa_intv=sa_intv,
+                               seq_len=seq_len))
     head = (done.astype(jnp.int32) | (nseeds << 1))[:, None]
     meta = ((o_rpos << 16) | o_len).T
     return jnp.concatenate(
@@ -415,12 +679,15 @@ def _seed_scan_packed_wide(blocks, L2lo, L2hi, buf, *,
 _UNFINISHED_HI = 0x80000000
 
 
-def _locate_kernel_wide(blocks, L2lo, L2hi, sad_lo, sad_hi, k_lo, k_hi, *,
-                        primary, sa_intv, max_iters):
+def _locate_kernel_wide(blocks, L2lo, L2hi, k_lo, k_hi, *,
+                        primary, sa_intv, sad_off, max_iters):
     """Wide batched bwt_sa (bwt_search.cpp:127-137): LF-walk each row
     pair until it hits a sampled row, then add the sample. One merged
     row gather per iteration serves both the BWT character read and
-    the Occ count. Lanes exhausting max_iters return hi=_UNFINISHED_HI
+    the Occ count; the final sample pair is read from the table's own
+    sad region (8 pairs per 16-word row at sad_off, [lo x8 | hi x8]),
+    so no separate sample arrays ride in HBM (~12 GB saved at GRCh38
+    scale). Lanes exhausting max_iters return hi=_UNFINISHED_HI
     (impossible for real positions) for host-side rerun."""
     mask = jnp.uint32(sa_intv - 1)
     plo, phi = _p_const(primary)
@@ -471,12 +738,49 @@ def _locate_kernel_wide(blocks, L2lo, L2hi, sad_lo, sad_hi, k_lo, k_hi, *,
     finished = (klo & mask) == 0
     srow_lo, _ = _p_shr(klo, khi, sa_shift)
     srow = srow_lo.astype(jnp.int32)
-    loc = _p_add_i32(sad_lo[srow], sad_hi[srow], steps)
+    srows = blocks[sad_off + (srow >> 3)]
+    sidx = srow & 7
+    loc = _p_add_i32(_sel8(sidx, [srows[:, j] for j in range(8)]),
+                     _sel8(sidx, [srows[:, 8 + j] for j in range(8)]),
+                     steps)
     out_lo = jnp.where(finished, loc[0], 0)
     out_hi = jnp.where(finished, loc[1], jnp.uint32(_UNFINISHED_HI))
     return jnp.stack([jax.lax.bitcast_convert_type(out_lo, jnp.int32),
                       jax.lax.bitcast_convert_type(out_hi, jnp.int32)],
                      axis=1)
+
+
+def _pack_ref_rows(idx: Index, n_rrows: int) -> np.ndarray:
+    """Pack the fwd+RC genome codes into (n_rrows, 16) uint32 rows of
+    16-base words (256 bases per row, top bits first) for the compare
+    mode; native single pass when available (NumPy degrades past 2^31
+    elements)."""
+    n = int(idx.seq_len)
+    n_words = (n + 15) // 16
+    flat = np.zeros(n_rrows * 16, dtype=np.uint32)
+    lib = None
+    try:
+        import ctypes
+
+        from ..native import build as native_build
+
+        lib = native_build.load()
+    except Exception:
+        pass
+    if lib is not None and hasattr(lib, "dart_pack_codes"):
+        codes = np.ascontiguousarray(idx.ref_codes, dtype=np.uint8)
+        lib.dart_pack_codes(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(n),
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    else:
+        codes16 = np.zeros(n_words * 16, dtype=np.uint32)
+        codes16[:n] = np.minimum(idx.ref_codes, 3)
+        w = codes16.reshape(-1, 16)
+        shifts = np.arange(15, -1, -1, dtype=np.uint64) * 2
+        flat[:n_words] = (w.astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64).astype(np.uint32)
+    return flat.reshape(n_rrows, 16)
 
 
 # ---------------- engine ----------------
@@ -490,7 +794,7 @@ class FMIndexJaxWide:
     over multiple chips when the index exceeds one chip's HBM."""
 
     def __init__(self, idx: Index, device=None, max_dup_num: int = 100,
-                 index_mesh=None):
+                 index_mesh=None, lut_k: int = 0):
         tab_sharding = device
         vec_sharding = device
         self._jit_opts = {}
@@ -501,7 +805,6 @@ class FMIndexJaxWide:
 
             tab_sharding = NamedSharding(index_mesh, P("index", None))
             vec_sharding = NamedSharding(index_mesh, P())
-            vec1_sharding = NamedSharding(index_mesh, P("index"))
             n_shards = int(index_mesh.shape["index"])
         blocks = build_device_layout_wide(idx)
         if n_shards > 1:
@@ -515,7 +818,6 @@ class FMIndexJaxWide:
                     [a, np.zeros((r,) + a.shape[1:], a.dtype)])
 
             blocks = pad_rows(blocks)
-        self.blocks = jax.device_put(blocks, tab_sharding)
         l2lo, l2hi = _split64(idx.L2)
         self.L2lo = jax.device_put(l2lo, vec_sharding)
         self.L2hi = jax.device_put(l2hi, vec_sharding)
@@ -526,15 +828,38 @@ class FMIndexJaxWide:
             samples = idx.sa_samples.astype(np.int64)
             self.sa_intv = int(idx.sa_intv)
         slo, shi = _split64(samples)
-        sad_sharding = tab_sharding if index_mesh is None else vec1_sharding
-        if n_shards > 1:
-            slo, shi = pad_rows(slo), pad_rows(shi)
-        self.sad_lo = jax.device_put(slo, sad_sharding)
-        self.sad_hi = jax.device_put(shi, sad_sharding)
+        # the samples ride ONLY as sad rows of the merged table below
+        # (locate reads them through the same gather path); separate
+        # device copies would double SA-sample HBM — ~12 GB at GRCh38
+        # scale, more than the whole rest of the index
         self.primary = int(idx.primary)
         self.seq_len = int(idx.seq_len)
         self.max_dup_num = int(max_dup_num)
-        self.lut_k = 0
+        self.lut_k = int(lut_k)
+        self._lut = None  # built lazily on first seed round
+        # fast-extension regions appended to the block table (matching
+        # the narrow engine's merged-table design): packed genome words
+        # (16 words = 256 bases per row) and SA sample pairs (8 per
+        # row: [lo x8 | hi x8]) so every automaton mode is served by
+        # ONE row gather from ONE table
+        n_blocks = blocks.shape[0]
+        n_words = (self.seq_len + 15) // 16
+        n_rrows = -(-n_words // 16) + 1  # +1: compare may read row+1
+        ref_rows = _pack_ref_rows(idx, n_rrows)
+        n_srows = -(-slo.shape[0] // 8)  # slo may carry shard padding
+        sad_rows = np.zeros((n_srows, 16), dtype=np.uint32)
+        srl = np.zeros(n_srows * 8, dtype=np.uint32)
+        srh = np.zeros(n_srows * 8, dtype=np.uint32)
+        srl[: slo.shape[0]] = slo
+        srh[: shi.shape[0]] = shi
+        sad_rows[:, :8] = srl.reshape(n_srows, 8)
+        sad_rows[:, 8:] = srh.reshape(n_srows, 8)
+        self.ref_off = n_blocks
+        self.sad_off = n_blocks + n_rrows
+        merged = np.concatenate([blocks, ref_rows, sad_rows])
+        if n_shards > 1:
+            merged = pad_rows(merged)
+        self.blocks = jax.device_put(merged, tab_sharding)
         self._seed_jit = {}
         self._locate_jit = {}
 
@@ -556,14 +881,23 @@ class FMIndexJaxWide:
         """One merged-buffer dispatch (see the narrow engine)."""
         if S is None:
             S = Lp // 16
+        if self.lut_k and self._lut is None:
+            # separate table (same rationale as the narrow engine: the
+            # 4^K rows would push every merged-table gather to
+            # large-table rates); states are pre-gathered once per call
+            self._lut = build_lut_wide(self.blocks, self.L2lo, self.L2hi,
+                                       self.primary, self.lut_k)
         key = (Rp, Lp, T, use_nmask, S)
         if key not in self._seed_jit:
             self._seed_jit[key] = jax.jit(functools.partial(
                 _seed_scan_packed_wide, primary=self.primary,
                 max_dup=self.max_dup_num, max_seeds=S, max_iters=T,
-                read_len=Lp, use_nmask=use_nmask), **self._jit_opts)
+                read_len=Lp, lut_k=self.lut_k, ref_off=self.ref_off,
+                sad_off=self.sad_off, sa_intv=self.sa_intv,
+                seq_len=self.seq_len, use_nmask=use_nmask),
+                **self._jit_opts)
         return self._seed_jit[key](self.blocks, self.L2lo, self.L2hi,
-                                   jnp.asarray(buf))
+                                   self._lut, jnp.asarray(buf))
 
     def seed_submit_packed(self, buf, nmask, has_n, n_with_n: int,
                            nlive: int, Lp: int, max_rlen: int):
@@ -648,8 +982,8 @@ class FMIndexJaxWide:
 
     def seed_reads(self, codes: np.ndarray, rlens: np.ndarray):
         """Batched reference seeding scan; same contract as the narrow
-        FMIndexJax.seed_reads (freq is always >= 1 here: no
-        fast-extension path in the wide automaton yet)."""
+        FMIndexJax.seed_reads (freq == -1 marks a direct fast-extension
+        seed whose k0 slot holds the genome position)."""
         R, L = codes.shape
         if L >= 65536:
             raise ValueError("reads must be shorter than 65536 bases")
@@ -689,9 +1023,10 @@ class FMIndexJaxWide:
         if key not in self._locate_jit:
             self._locate_jit[key] = jax.jit(functools.partial(
                 _locate_kernel_wide, primary=self.primary,
-                sa_intv=self.sa_intv, max_iters=T), **self._jit_opts)
+                sa_intv=self.sa_intv, sad_off=self.sad_off,
+                max_iters=T), **self._jit_opts)
         return self._locate_jit[key](
-            self.blocks, self.L2lo, self.L2hi, self.sad_lo, self.sad_hi,
+            self.blocks, self.L2lo, self.L2hi,
             jnp.asarray(klo), jnp.asarray(khi))
 
     def locate_submit(self, rows: np.ndarray):

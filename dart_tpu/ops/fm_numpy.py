@@ -8,8 +8,9 @@ MEM extension via backward search on the reverse-complement side
 row (bwt_sa :127).
 
 The walks are batched across (read, position) tasks: every task is one
-lane of a fixed-step masked loop — the same dataflow the Pallas TPU
-kernel uses (ops/fm_pallas.py), so results are interchangeable.
+lane of a fixed-step masked loop — the same dataflow the device
+automatons use (ops/fm_jax.py narrow, ops/fm_jax_wide.py >2^31), so
+results are interchangeable.
 """
 
 from __future__ import annotations

@@ -87,9 +87,33 @@ def _sample_reads(idx, R, L, seed, mut=0.03):
     return codes, np.full(R, L, dtype=np.int32)
 
 
+def _assert_seed_tables_match(fm, got, want, R):
+    """Engine seed tables vs the all-walks oracle, normalizing direct
+    fast-extension seeds (freq == -1, k0 slot holds the genome
+    position): such a seed must correspond to an oracle seed with
+    exactly one occurrence at that position."""
+    n_w, rp_w, ln_w, k0_w, fr_w = got
+    n_o, rp_o, ln_o, k0_o, fr_o = want
+    np.testing.assert_array_equal(n_w, n_o)
+    for r in range(R):
+        k = int(n_o[r])
+        np.testing.assert_array_equal(rp_w[r, :k], rp_o[r, :k])
+        np.testing.assert_array_equal(ln_w[r, :k], ln_o[r, :k])
+        np.testing.assert_array_equal(fr_w[r, :k],
+                                      np.where(fr_w[r, :k] < 0, -1,
+                                               fr_o[r, :k]))
+        for s in range(k):
+            if fr_w[r, s] < 0:
+                assert fr_o[r, s] == 1
+                assert k0_w[r, s] == int(
+                    fm.locate(np.array([k0_o[r, s]], dtype=np.int64))[0])
+            else:
+                assert k0_w[r, s] == k0_o[r, s]
+
+
 def test_wide_seed_scan_matches_oracle(toy_index, wide, fm):
     """The wide automaton's seed tables must equal the all-walks oracle
-    replay (freq >= 1 rows: the wide engine has no fast-extension)."""
+    replay (direct fast-extension seeds normalized)."""
     from dart_tpu.aligner import _NumpyEngine
     from dart_tpu.pipeline.seeding import seed_reads_from_all_walks
 
@@ -97,17 +121,28 @@ def test_wide_seed_scan_matches_oracle(toy_index, wide, fm):
     # mix in short/odd lengths and an all-N read
     rlens[:6] = [17, 30, 16, 15, 99, 64]
     codes[3] = 4
-    n_w, rp_w, ln_w, k0_w, fr_w = wide.seed_reads(codes, rlens)
+    got = wide.seed_reads(codes, rlens)
     eng = _NumpyEngine(fm, 100)
-    n_o, rp_o, ln_o, k0_o, fr_o = seed_reads_from_all_walks(
-        eng, codes, rlens, 100)
-    np.testing.assert_array_equal(n_w, n_o)
-    for r in range(len(rlens)):
-        k = int(n_o[r])
-        np.testing.assert_array_equal(rp_w[r, :k], rp_o[r, :k])
-        np.testing.assert_array_equal(ln_w[r, :k], ln_o[r, :k])
-        np.testing.assert_array_equal(k0_w[r, :k], k0_o[r, :k])
-        np.testing.assert_array_equal(fr_w[r, :k], fr_o[r, :k])
+    want = seed_reads_from_all_walks(eng, codes, rlens, 100)
+    _assert_seed_tables_match(fm, got, want, len(rlens))
+    assert (got[4] < 0).any(), "fast-extension path never engaged"
+
+
+def test_wide_seed_scan_lut_matches_oracle(toy_index, fm):
+    """LUT-initialized wide scans must match the oracle too (and the
+    LUT-off engine's tables, direct seeds and all)."""
+    from dart_tpu.aligner import _NumpyEngine
+    from dart_tpu.ops.fm_jax_wide import FMIndexJaxWide
+    from dart_tpu.pipeline.seeding import seed_reads_from_all_walks
+
+    lut_eng = FMIndexJaxWide(toy_index, max_dup_num=100, lut_k=4)
+    codes, rlens = _sample_reads(toy_index, 32, 100, seed=27)
+    rlens[:3] = [17, 31, 64]
+    codes[5, 40:44] = 4
+    got = lut_eng.seed_reads(codes, rlens)
+    eng = _NumpyEngine(fm, 100)
+    want = seed_reads_from_all_walks(eng, codes, rlens, 100)
+    _assert_seed_tables_match(fm, got, want, len(rlens))
 
 
 def test_wide_locate_matches_oracle(toy_index, wide, fm):
@@ -132,16 +167,13 @@ def test_wide_sharded_index_matches(toy_index, fm):
     mesh = Mesh(np.array(cpus[:2]), ("index",))
     wide = FMIndexJaxWide(toy_index, max_dup_num=100, index_mesh=mesh)
     codes, rlens = _sample_reads(toy_index, 16, 80, seed=33)
-    n, rp, ln, k0, fr = wide.seed_reads(codes, rlens)
+    got = wide.seed_reads(codes, rlens)
     from dart_tpu.aligner import _NumpyEngine
     from dart_tpu.pipeline.seeding import seed_reads_from_all_walks
 
-    n_o, rp_o, ln_o, k0_o, fr_o = seed_reads_from_all_walks(
+    want = seed_reads_from_all_walks(
         _NumpyEngine(fm, 100), codes, rlens, 100)
-    np.testing.assert_array_equal(n, n_o)
-    for r in range(16):
-        k = int(n_o[r])
-        np.testing.assert_array_equal(k0[r, :k], k0_o[r, :k])
+    _assert_seed_tables_match(fm, got, want, 16)
     rng = np.random.default_rng(3)
     rows = rng.integers(1, toy_index.seq_len, 200, dtype=np.int64)
     np.testing.assert_array_equal(wide.locate(rows), fm.locate(rows))
