@@ -119,6 +119,8 @@ int64_t dart_sam_to_bam(const char* sam, int64_t sam_len,
   const char* p = sam;
   const char* send = sam + sam_len;
   std::vector<std::pair<const char*, const char*>> f;
+  std::vector<uint32_t> cigbuf;  // reused across records; no op cap
+  cigbuf.reserve(4096);
   while (p < send) {
     const char* eol = (const char*)std::memchr(p, '\n', send - p);
     if (!eol) eol = send;
@@ -165,8 +167,7 @@ int64_t dart_sam_to_bam(const char* sam, int64_t sam_len,
     }
     // parse cigar
     int64_t ref_len = 0;
-    int ncig = 0;
-    uint32_t cigbuf[4096];
+    cigbuf.clear();
     if (!(cge - cg == 1 && *cg == '*')) {
       long n = 0;
       for (const char* c = cg; c < cge; ++c) {
@@ -175,13 +176,14 @@ int64_t dart_sam_to_bam(const char* sam, int64_t sam_len,
         } else {
           int op = T.cig[(unsigned char)*c];
           if (op < 0) op = 0;
-          if (ncig < 4096) cigbuf[ncig++] = (uint32_t)((n << 4) | op);
+          cigbuf.push_back((uint32_t)((n << 4) | op));
           if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
             ref_len += n;
           n = 0;
         }
       }
     }
+    size_t ncig = cigbuf.size();
     if (ref_len == 0) ref_len = 1;
     long p0 = pos - 1;
     int bin = reg2bin(p0 >= 0 ? p0 : 0, p0 >= 0 ? p0 + ref_len : 1);
@@ -211,7 +213,7 @@ int64_t dart_sam_to_bam(const char* sam, int64_t sam_len,
     o.i32((int32_t)tlen);
     o.bytes(sv(0).first, (size_t)name_len);
     o.u8(0);
-    for (int i = 0; i < ncig; ++i) o.u32(cigbuf[i]);
+    for (size_t i = 0; i < ncig; ++i) o.u32(cigbuf[i]);
     if (has_seq) {
       int64_t half = (sqlen + 1) / 2;
       if (o.p + half <= o.end) {
