@@ -18,6 +18,8 @@ File formats (reference provenance):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..constants import OCC_INTERVAL, SA_INTERVAL
@@ -216,14 +218,22 @@ def _core_native(text: np.ndarray):
     return sa_full, bwt, int(primary), payload
 
 
+def _stage_log(msg: str) -> None:
+    if os.environ.get("DART_TPU_BUILD_LOG"):
+        import time
+        print(f"[build {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
 def build_index(fasta_path: str, prefix: str, seed: int = 11,
                 sad_intv: int = SAD_INTERVAL) -> None:
     """Build all five BWA-compatible index files for `fasta_path` under
     `prefix`, plus the .sad dense-sample file (TPU extension)."""
+    _stage_log(f"packing {fasta_path}")
     pg = packer.pack_fasta(fasta_path, seed=seed)
     text = full_text(pg.seq2)
     seq_len = int(text.shape[0])
 
+    _stage_log(f"suffix array + BWT over {seq_len:,} text positions")
     core = _core_native(text)
     if core is not None:
         sa_full, bwt, primary, payload = core
@@ -240,6 +250,7 @@ def build_index(fasta_path: str, prefix: str, seed: int = 11,
         samples = sample_sa(sa, seq_len)
         sample = lambda intv: sample_sa(sa, seq_len, intv)  # noqa: E731
 
+    _stage_log("writing index files")
     write_bwt_file(prefix + ".bwt", primary, L2, payload)
     write_sa_file(prefix + ".sa", primary, L2, samples, seq_len)
     packer.write_pac(prefix + ".pac", pg.seq2)

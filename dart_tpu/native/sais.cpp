@@ -17,7 +17,10 @@
 // /root/reference/src/BWT_Index/bwt_gen.c; the resulting BWT is
 // identical because the BWT is unique given the text).
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <new>
 #include <algorithm>
 #include <sys/mman.h>
@@ -25,6 +28,16 @@
 namespace {
 
 constexpr size_t kHuge = size_t(1) << 21;
+
+// Coarse progress notes for multi-hour builds (DART_TPU_BUILD_LOG=1).
+void blog(const char* what, int64_t n) {
+  static bool on = getenv("DART_TPU_BUILD_LOG") != nullptr;
+  if (!on) return;
+  char ts[16];
+  time_t t = time(nullptr);
+  strftime(ts, sizeof ts, "%H:%M:%S", localtime(&t));
+  fprintf(stderr, "[sais %s] %s (n=%lld)\n", ts, what, (long long)n);
+}
 
 void advise_huge(void* ptr, size_t bytes) {
   uintptr_t a = (uintptr_t(ptr) + 4095) & ~uintptr_t(4095);
@@ -136,6 +149,7 @@ void sais_core(const TChar* T, TIdx* SA, TIdx n, TIdx K) {
     }
   };
 
+  blog("stage1: LMS induce", int64_t(n));
   // Stage 1: sort LMS substrings by one round of induced sorting.
   std::fill(SA, SA + n, TIdx(-1));
   getEnds();
@@ -153,6 +167,7 @@ void sais_core(const TChar* T, TIdx* SA, TIdx n, TIdx K) {
     if (isLMS(SA[i])) SA[n1++] = SA[i];
   }
 
+  blog("naming LMS substrings", int64_t(n1));
   // Name LMS substrings into the upper half of SA.
   std::fill(SA + n1, SA + n, TIdx(-1));
   TIdx name = 0, prev = -1;
@@ -217,6 +232,7 @@ void sais_core(const TChar* T, TIdx* SA, TIdx n, TIdx K) {
     }
   }
 
+  blog("stage2: final induce", int64_t(n));
   // Stage 2: induce the full SA from the sorted LMS suffixes.
   std::fill(SA + n1, SA + n, TIdx(-1));
   getEnds();
@@ -253,6 +269,7 @@ int64_t index_core_impl(const uint8_t* T, int64_t n, int64_t K,
     cn = c;
   }
   sais_core<int64_t, uint8_t>(Tp.p, sa_full, n + 1, K);
+  blog("suffix array done; deriving BWT", n);
   int64_t primary = -1;
   if (bwt) {
     // Row k of the BWT matrix holds text[sa_full[k]-1]; the row whose
