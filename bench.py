@@ -8,28 +8,35 @@ Headline workload (metric/value/vs_baseline): single-end 100 bp
 RNA-seq reads (70% genomic with 0.5% mismatches, 30% spliced across
 GT/AG introns) against a synthetic 8 Mbp two-chromosome genome — the
 shape of the reference's own headline configs (BASELINE.json configs
-1 and 3) at a size that builds and runs in minutes. Two more configs
-ride along in the "configs" field: the same read mix against a 50 Mbp
-genome (chr21 scale, BASELINE.json config 2), and paired-end reads
-with BAM output on the 8 Mbp genome.
+1 and 3) at a size that builds and runs in minutes. More configs ride
+along in the "configs" field: the same read mix against a 50 Mbp
+genome (chr21 scale, BASELINE.json config 2), paired-end reads with
+BAM output on the 8 Mbp genome, and — when its prebuilt dataset
+exists (tools/build_grch38.py) — the flagship GRCh38-class config:
+100 bp PE reads + BAM against a 3.09 Gbp hg38-proportioned genome
+(BASELINE.json configs 4-5, the wide >2^31 engine).
 
 Baseline: the reference Dart binary (hsinnan75/Dart, built from
 /root/reference by tools/build_reference.sh) aligning the identical
 reads with the identical BWA-format index. This host has one core, so
-the reference runs at its -t 1 == -t nproc speed; the same run's SAM
-(deterministic order at -t 1) doubles as the PARITY ORACLE: our
-output is compared record-for-record IN ORDER (unmapped-read FLAG
-normalized — the reference emits stale-memory flag bits there; see
-tests/test_parity.py).
+the reference runs at its -t 1 == -t nproc speed; a dedicated -t 1
+run's SAM (deterministic order) is the PARITY ORACLE: our output is
+compared record-for-record IN ORDER (reference stale-FLAG divergences
+normalized — single-end unmapped reads and half-mapped pairs read
+uninitialized flag state; see tests/test_parity.py and README).
 
-Both sides are timed over the full mapping phase (read parsing,
-alignment, SAM/BAM + junction output) excluding one-time process
-startup (interpreter/backend init, index load, first-compile —
-amortized away in production runs and priced separately in the meta
-line on stderr). The TPU pool and relay host are tenant-shared and
-identical passes vary several-fold, so each side keeps its best pass,
-sampling until two passes agree within 8% (a repeated time indicates
-a quiet window; a single fast pass may be luck).
+SAME-WINDOW protocol: reference and dart_tpu passes are interleaved
+within one sampling loop (ref, ours, ref, ours, ...) so both rates
+come from the same tenant window — the TPU pool and relay host are
+shared and identical passes vary several-fold minute to minute, so a
+cross-window comparison would be uncontrolled. Each side keeps its
+best pass and samples until both have two passes within 8%. Both
+sides are timed over the full mapping phase excluding one-time
+process startup: ours excludes interpreter/backend init, index load
+and warm compiles (priced separately as setup_s); the reference's
+per-pass index-load cost is measured once with a 2-read input and
+subtracted from every timed pass (conservative: it shifts the
+baseline faster, never slower).
 """
 
 from __future__ import annotations
@@ -51,22 +58,31 @@ N_READS = int(os.environ.get("DART_TPU_BENCH_READS", "100000"))
 READ_LEN = 100
 SEED = 20260816
 REF_BIN = "/tmp/dart_ref/bin/dart"
+REF_IDX_BIN = "/tmp/dart_ref/bin/bwt_index"
 
 CONFIGS = {
     "8mbp_se": {
         "genome": {"chr1": 5_000_000, "chr2": 3_000_000},
         "n_reads": N_READS, "paired": False, "bam": False,
-        "passes": 10,
+        "passes": 10, "time_ref_build": True,
     },
     "50mbp_se": {
         "genome": {"chr1": 30_000_000, "chr2": 20_000_000},
         "n_reads": N_READS, "paired": False, "bam": False,
-        "passes": 6,
+        "passes": 6, "time_ref_build": True,
     },
     "8mbp_pe_bam": {
         "genome": {"chr1": 5_000_000, "chr2": 3_000_000},
         "n_reads": (N_READS // 2) * 2, "paired": True, "bam": True,
         "passes": 6,
+    },
+    "grch38_pe_bam": {
+        # prebuilt by tools/build_grch38.py (3.09 Gbp genome + 50k
+        # pairs + wide index); skipped with a note if absent — the
+        # build is hours of SA-IS and must not run inside the bench
+        "genome": None, "prebuilt": True,
+        "n_reads": 100_000, "paired": True, "bam": True,
+        "passes": 4,
     },
 }
 
@@ -92,17 +108,30 @@ def _read_genome(fa: str) -> dict[str, str]:
     return genome
 
 
-def ensure_dataset(cname: str, spec: dict) -> dict:
+def ensure_dataset(cname: str, spec: dict) -> dict | None:
     """Create (cached) genome + reads + our BWA-compatible index for
     one config. Returns paths + our index build time (recorded the
-    first time the index is built)."""
+    first time the index is built). Prebuilt configs (grch38) return
+    None when their dataset is absent."""
     import make_fixtures as mf
 
     d = os.path.join(WORK, cname)
-    os.makedirs(d, exist_ok=True)
     fa = os.path.join(d, "genome.fa")
     prefix = os.path.join(d, "idx")
     meta_p = os.path.join(d, "meta.json")
+    n = spec["n_reads"]
+    if spec.get("prebuilt"):
+        fq1 = os.path.join(d, f"reads_{n}_1.fq")
+        fq2 = os.path.join(d, f"reads_{n}_2.fq")
+        if not (os.path.exists(prefix + ".bwt") and os.path.exists(fq1)):
+            log(f"bench[{cname}]: prebuilt dataset missing "
+                f"(run tools/build_grch38.py); skipping config")
+            return None
+        meta = json.load(open(meta_p)) if os.path.exists(meta_p) else {}
+        return {"fq": (fq1, fq2), "prefix": prefix, "dir": d,
+                "index_build_s": meta.get("index_build_s"),
+                "meta_path": meta_p}
+    os.makedirs(d, exist_ok=True)
     if not os.path.exists(fa):
         log(f"bench[{cname}]: generating "
             f"{sum(spec['genome'].values())/1e6:.0f} Mbp genome...")
@@ -115,7 +144,6 @@ def ensure_dataset(cname: str, spec: dict) -> dict:
         with open(os.path.join(d, "genes.txt"), "w") as f:
             for exs in genes:
                 f.write("chr1\t" + ",".join(f"{a}-{b}" for a, b in exs) + "\n")
-    n = spec["n_reads"]
     if spec["paired"]:
         fq1 = os.path.join(d, f"reads_{n}_1.fq")
         fq2 = os.path.join(d, f"reads_{n}_2.fq")
@@ -154,11 +182,106 @@ def ensure_dataset(cname: str, spec: dict) -> dict:
 
         t0 = time.time()
         build_index(fa, prefix)
+        meta = json.load(open(meta_p)) if os.path.exists(meta_p) else {}
+        meta["index_build_s"] = round(time.time() - t0, 2)
         with open(meta_p, "w") as f:
-            json.dump({"index_build_s": round(time.time() - t0, 2)}, f)
+            json.dump(meta, f)
     meta = json.load(open(meta_p)) if os.path.exists(meta_p) else {}
     return {"fq": fq, "prefix": prefix, "dir": d,
-            "index_build_s": meta.get("index_build_s")}
+            "index_build_s": meta.get("index_build_s"),
+            "meta_path": meta_p}
+
+
+def ensure_reference() -> bool:
+    if os.path.exists(REF_BIN):
+        return True
+    try:
+        subprocess.run(["bash", os.path.join(HERE, "tools",
+                                             "build_reference.sh")],
+                       check=True, capture_output=True, timeout=900)
+        return True
+    except Exception as e:
+        log(f"bench: cannot build reference dart ({e})")
+        return False
+
+
+def time_reference_index_build(cname: str, spec: dict, ds: dict) -> float | None:
+    """Time the reference's own `bwt_index` builder on the identical
+    genome (VERDICT: both builders' times belong in the bench JSON).
+    Cached in the dataset meta."""
+    meta = json.load(open(ds["meta_path"])) if os.path.exists(ds["meta_path"]) else {}
+    if "ref_index_build_s" in meta:
+        return meta["ref_index_build_s"]
+    if not spec.get("time_ref_build") or not os.path.exists(REF_IDX_BIN):
+        return None
+    fa = os.path.join(ds["dir"], "genome.fa")
+    out_prefix = os.path.join(ds["dir"], "refidx")
+    log(f"bench[{cname}]: timing reference bwt_index...")
+    t0 = time.time()
+    subprocess.run([REF_IDX_BIN, fa, out_prefix], check=True,
+                   capture_output=True, timeout=7200)
+    dt = round(time.time() - t0, 2)
+    for ext in (".bwt", ".sa", ".pac", ".ann", ".amb"):
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(out_prefix + ext)
+    meta["ref_index_build_s"] = dt
+    with open(ds["meta_path"], "w") as f:
+        json.dump(meta, f)
+    log(f"bench[{cname}]: reference bwt_index: {dt:.0f}s")
+    return dt
+
+
+def _ref_cmd(spec: dict, ds: dict, out: str | None, bam: bool):
+    fq1, fq2 = ds["fq"]
+    cmd = [REF_BIN, "-i", ds["prefix"], "-f", fq1]
+    if fq2:
+        cmd += ["-f2", fq2]
+    cmd += ["-t", "1", "-mis", "5",
+            "-j", os.path.join(ds["dir"], "ref.junctions.tab"), "-silent"]
+    if bam:
+        cmd += ["-bo", out]
+    elif out:
+        cmd += ["-o", out]
+    return cmd
+
+
+def ensure_parity_oracle(cname: str, spec: dict, ds: dict) -> str | None:
+    """The reference's -t 1 SAM (deterministic order): cached, untimed."""
+    ref_sam = os.path.join(ds["dir"], f"ref_{spec['n_reads']}.sam")
+    if os.path.exists(ref_sam):
+        return ref_sam
+    if not ensure_reference():
+        return None
+    log(f"bench[{cname}]: producing reference parity oracle...")
+    subprocess.run(_ref_cmd(spec, ds, ref_sam, bam=False), check=True,
+                   capture_output=True, timeout=7200)
+    return ref_sam
+
+
+def _reference_load_overhead(cname: str, spec: dict, ds: dict) -> float:
+    """Per-pass process startup + index load cost of the reference,
+    measured with a 2-read input (best of 2). Subtracted from every
+    timed reference pass — conservative (makes the baseline faster)."""
+    tiny = os.path.join(ds["dir"], "tiny.fq")
+    if not os.path.exists(tiny):
+        with open(ds["fq"][0]) as f, open(tiny, "w") as out:
+            for _ in range(8):
+                line = f.readline()
+                if not line:
+                    break
+                out.write(line)
+    tiny_ds = dict(ds, fq=(tiny, None))
+    tiny_spec = dict(spec, paired=False)
+    cmd = _ref_cmd(tiny_spec, tiny_ds, os.path.join(ds["dir"], "tiny.sam"),
+                   bam=False)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        subprocess.run(cmd, check=True, capture_output=True, timeout=7200)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    log(f"bench[{cname}]: reference load overhead: {best:.2f}s")
+    return best
 
 
 def _converged(times: list[float]) -> bool:
@@ -169,61 +292,15 @@ def _converged(times: list[float]) -> bool:
     return s[1] <= s[0] * 1.08
 
 
-def measure_reference(cname: str, spec: dict, ds: dict) -> float | None:
-    """Reference Dart reads/s on this host, cached; also leaves the
-    -t 1 SAM as the in-order parity oracle."""
-    n = spec["n_reads"]
-    cache = os.path.join(ds["dir"], f"baseline_rate_{n}.json")
-    ref_sam = os.path.join(ds["dir"], f"ref_{n}.sam")
-    if os.path.exists(cache) and os.path.exists(ref_sam):
-        return json.load(open(cache))["reads_per_sec"]
-    if not os.path.exists(REF_BIN):
-        try:
-            subprocess.run(["bash", os.path.join(HERE, "tools",
-                                                 "build_reference.sh")],
-                           check=True, capture_output=True, timeout=900)
-        except Exception as e:
-            log(f"bench[{cname}]: cannot build reference dart ({e})")
-            if os.path.exists(cache):
-                return json.load(open(cache))["reads_per_sec"]
-            return None
-    fq1, fq2 = ds["fq"]
-    base = [REF_BIN, "-i", ds["prefix"], "-f", fq1]
-    if fq2:
-        base += ["-f2", fq2]
-    base += ["-t", "1", "-mis", "5",
-             "-j", os.path.join(ds["dir"], "ref.junctions.tab"), "-silent"]
-    # timed runs write the SAME format we will (BAM configs time the
-    # reference's htslib BAM path); the -t 1 SAM parity oracle is a
-    # separate untimed run when the formats differ
-    if spec["bam"]:
-        cmd = base + ["-bo", os.path.join(ds["dir"], "ref.bam")]
-
-        subprocess.run(base + ["-o", ref_sam], check=True,
-                       capture_output=True, timeout=3600)
-    else:
-        cmd = base + ["-o", ref_sam]
-    times: list[float] = []
-    for _ in range(4):
-        t0 = time.time()
-        subprocess.run(cmd, check=True, capture_output=True, timeout=3600)
-        times.append(time.time() - t0)
-        if len(times) >= 2 and _converged(times):
-            break
-    best = min(times)
-    rate = spec["n_reads"] / best
-    with open(cache, "w") as f:
-        json.dump({"reads_per_sec": rate, "n_reads": spec["n_reads"],
-                   "wall_s": best}, f)
-    log(f"bench[{cname}]: reference dart: {best:.2f}s ({rate:.0f} reads/s, "
-        f"-t 1, {len(times)} passes)")
-    return rate
-
-
-def measure_ours(cname: str, spec: dict, ds: dict) -> tuple[float, dict]:
+def measure_both(cname: str, spec: dict, ds: dict):
+    """SAME-WINDOW measurement: interleave reference and dart_tpu
+    passes in one loop so both rates come from the same tenant window.
+    Returns (our_rate, ref_rate, meta)."""
     from dart_tpu.aligner import DartAligner, make_engine
     from dart_tpu.config import DartConfig
     from dart_tpu.index import load_index
+
+    have_ref = ensure_reference()
 
     t_setup = time.time()
     cfg = DartConfig()
@@ -249,43 +326,113 @@ def measure_ours(cname: str, spec: dict, ds: dict) -> tuple[float, dict]:
         warm.run()
     setup_s = time.time() - t_setup
 
-    times: list[float] = []
-    for i in range(spec["passes"]):
-        aligner = DartAligner(idx, cfg, engine)
-        t0 = time.time()
-        with contextlib.redirect_stdout(sys.stderr):
-            aligner.run()
-        times.append(time.time() - t0)
-        log(f"bench[{cname}]: dart_tpu pass: {times[-1]:.2f}s")
-        if i >= 2 and _converged(times):
+    ref_out = os.path.join(ds["dir"], "ref_timed." + ("bam" if spec["bam"]
+                                                      else "sam"))
+    ref_cmd = _ref_cmd(spec, ds, ref_out, bam=spec["bam"]) if have_ref else None
+    ref_load = _reference_load_overhead(cname, spec, ds) if have_ref else 0.0
+
+    ours: list[float] = []
+    ref: list[float] = []
+    max_passes = spec["passes"] + 4
+    for i in range(max_passes):
+        if ref_cmd is not None and not (len(ref) >= 2 and _converged(ref)):
+            t0 = time.time()
+            subprocess.run(ref_cmd, check=True, capture_output=True,
+                           timeout=7200)
+            ref.append(max(time.time() - t0 - ref_load, 1e-3))
+            log(f"bench[{cname}]: reference pass: {ref[-1]:.2f}s "
+                f"(+{ref_load:.2f}s load)")
+        if not (len(ours) >= 3 and _converged(ours)):
+            aligner = DartAligner(idx, cfg, engine)
+            t0 = time.time()
+            with contextlib.redirect_stdout(sys.stderr):
+                aligner.run()
+            ours.append(time.time() - t0)
+            log(f"bench[{cname}]: dart_tpu pass: {ours[-1]:.2f}s")
+        if (len(ours) >= 3 and _converged(ours)
+                and (ref_cmd is None or (len(ref) >= 2 and _converged(ref)))
+                and i + 1 >= spec["passes"] - 1):
             break
-    best = min(times)
+    best = min(ours)
     rate = spec["n_reads"] / best
-    spread = max(times) / best
+    spread = max(ours) / best
+    ref_rate = (spec["n_reads"] / min(ref)) if ref else None
+    if ref:
+        log(f"bench[{cname}]: reference: {min(ref):.2f}s "
+            f"({ref_rate:.0f} reads/s, -t 1, {len(ref)} passes)")
     log(f"bench[{cname}]: dart_tpu: {best:.2f}s ({rate:.0f} reads/s; "
-        f"{len(times)} passes, spread {spread:.2f}x; "
+        f"{len(ours)} passes, spread {spread:.2f}x; "
         f"setup+warmup {setup_s:.1f}s)")
-    return rate, {"wall_s": round(best, 3), "setup_s": round(setup_s, 1),
-                  "passes": len(times), "spread": round(spread, 2)}
+    return rate, ref_rate, {
+        "wall_s": round(best, 3), "setup_s": round(setup_s, 1),
+        "passes": len(ours), "spread": round(spread, 2),
+        "ref_wall_s": round(min(ref), 3) if ref else None,
+        "ref_passes": len(ref), "same_window": bool(ref),
+    }
 
 
-def _norm_sam_line(line: str) -> str:
-    p = line.rstrip("\n").split("\t")
-    if len(p) > 4 and p[2] == "*" and not int(p[1]) & 1:
-        # reference reads uninitialized FLAG on SINGLE-end unmapped
-        # reads (paired flags are deterministic)
-        p[1] = "4"
-    return "\t".join(p)
+def _norm_flags_pairwise(recs: list[tuple[str, int, str]]) -> list[int]:
+    """Return normalized FLAG values for reference -t 1 records.
+
+    Two documented reference stale-FLAG bug classes (it formats flags
+    from uninitialized/stale state, Mapping.cpp:74-186):
+    - single-end unmapped reads: FLAG is garbage; ours is always 4.
+    - half-mapped pairs (exactly one end unmapped): the reference
+      emits stale proper-pair/mate-reverse bits (e.g. 83/99/147); the
+      SAM-correct flags are mapped end 1|8|first/last|(0x10 kept),
+      unmapped end 1|4|first/last|(0x20 iff mate reverse).
+    recs: (qname, flag, rname) in file order."""
+    out = [f for _, f, _ in recs]
+    i = 0
+    n = len(recs)
+    while i < n:
+        q, f, rn = recs[i]
+        if not f & 1:
+            if rn == "*":
+                out[i] = 4
+            i += 1
+            continue
+        if i + 1 < n and recs[i + 1][0] == q and recs[i + 1][1] & 1:
+            q2, f2, rn2 = recs[i + 1]
+            un1 = rn == "*"
+            un2 = rn2 == "*"
+            if un1 != un2:
+                (mi, ui) = (i + 1, i) if un1 else (i, i + 1)
+                mf = out[mi]
+                uf = out[ui]
+                mate_rev = 0x20 if mf & 0x10 else 0
+                out[mi] = 1 | 8 | (mf & 0x10) | (mf & 0xC0)
+                out[ui] = 1 | 4 | mate_rev | (uf & 0xC0)
+            i += 2
+            continue
+        i += 1
+    return out
 
 
-def parity_check(cname: str, spec: dict, ds: dict) -> str:
-    """Record-for-record IN-ORDER comparison against the reference's
-    -t 1 SAM (its order is deterministic = input order, like ours)."""
-    ref_sam = os.path.join(ds["dir"], f"ref_{spec['n_reads']}.sam")
-    if not os.path.exists(ref_sam):
-        return "n/a"
+def _load_ref_records(ref_sam: str):
+    recs = []
+    lines = []
     with open(ref_sam) as f:
-        want = [_norm_sam_line(l) for l in f if not l.startswith("@")]
+        for line in f:
+            if line.startswith("@"):
+                continue
+            p = line.rstrip("\n").split("\t")
+            recs.append((p[0], int(p[1]), p[2]))
+            lines.append(p)
+    flags = _norm_flags_pairwise(recs)
+    for p, fl in zip(lines, flags):
+        p[1] = str(fl)
+    return lines
+
+
+def parity_check(cname: str, spec: dict, ds: dict, ref_sam: str | None) -> str:
+    """Record-for-record IN-ORDER comparison against the reference's
+    -t 1 SAM (its order is deterministic = input order, like ours),
+    with the reference's stale-FLAG divergences normalized to the
+    SAM-correct values (which is what we emit)."""
+    if ref_sam is None or not os.path.exists(ref_sam):
+        return "n/a"
+    want_rows = _load_ref_records(ref_sam)
     if spec["bam"]:
         sys.path.insert(0, os.path.join(HERE, "tests"))
         from test_bam import decode_bam
@@ -295,16 +442,16 @@ def parity_check(cname: str, spec: dict, ds: dict) -> str:
         for rec in records:
             got.append((rec["name"], rec["flag"], rec["pos"], rec["cigar"]))
         want2 = []
-        for line in want:
-            p = line.split("\t")
+        for p in want_rows:
             want2.append((p[0], int(p[1]),
                           int(p[3]) if p[2] != "*" else 0, p[5]))
         # BAM keeps the XS:A tag the reference truncates; compare core
         # fields only (name/flag/pos/cigar)
         same = sum(1 for x, y in zip(got, want2) if x == y)
         return f"{same}/{max(len(got), len(want2))} records (BAM core fields, in order)"
+    want = ["\t".join(p) for p in want_rows]
     with open(os.path.join(ds["dir"], "tpu.sam")) as f:
-        got = [_norm_sam_line(l) for l in f if not l.startswith("@")]
+        got = [l.rstrip("\n") for l in f if not l.startswith("@")]
     same = sum(1 for x, y in zip(got, want) if x == y)
     return f"{same}/{max(len(got), len(want))} identical SAM records (in order)"
 
@@ -313,15 +460,20 @@ def main() -> int:
     results = {}
     for cname, spec in CONFIGS.items():
         ds = ensure_dataset(cname, spec)
-        baseline = measure_reference(cname, spec, ds)
-        rate, meta = measure_ours(cname, spec, ds)
-        note = parity_check(cname, spec, ds)
+        if ds is None:
+            continue
+        ref_build_s = time_reference_index_build(cname, spec, ds)
+        oracle = ensure_parity_oracle(cname, spec, ds)
+        rate, ref_rate, meta = measure_both(cname, spec, ds)
+        note = parity_check(cname, spec, ds, oracle)
         log(f"bench[{cname}]: parity: {note}")
         results[cname] = {
             "reads_per_sec": round(rate, 1),
-            "vs_baseline": round(rate / baseline, 4) if baseline else None,
+            "vs_baseline": round(rate / ref_rate, 4) if ref_rate else None,
+            "baseline_reads_per_sec": round(ref_rate, 1) if ref_rate else None,
             "parity": note,
             "index_build_s": ds["index_build_s"],
+            "ref_index_build_s": ref_build_s,
             **meta,
         }
     head = results["8mbp_se"]
