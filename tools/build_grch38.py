@@ -1,0 +1,155 @@
+"""Build the GRCh38-class flagship bench dataset (BASELINE.json
+configs 4-5: 3.1 Gbp genome, 100 bp PE reads, BAM output).
+
+Writes exactly the files bench.py's ensure_dataset expects under
+$DART_TPU_BENCH_DIR/grch38_pe_bam/ (genome.fa, reads_N_{1,2}.fq,
+idx.*, meta.json), so the bench config picks them up without
+regenerating. The genome is hg38-proportioned synthetic DNA (24
+chromosomes at the real chromosome lengths, ~3.09 Gbp, a few N runs
+per chromosome); fwd+RC text is ~6.18e9 positions — past 2^31, the
+wide-engine regime, matching the reference's native int64 index types
+(/root/reference/src/structure.h:29-45).
+
+Generation is NumPy-vectorized throughout: make_fixtures.make_genome
+is per-base Python and would need hours and >20 GB for a 3 Gbp
+genome. Read simulation matches sim_reads_paired semantics (fragment
+insert 200-500, mate 2 reverse-complemented, 0.5% mismatches,
+p{i}_{chrom}:{pos} truth names) but is sampled with a NumPy RNG.
+
+Usage: python tools/build_grch38.py [--mbp-per-chrom scale] [--pairs 50000]
+The index build (SA-IS over 6.2e9) is the long pole; run under nice
+in the background and watch the DART_TPU_BUILD_LOG stage notes.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+# hg38 chromosome lengths, Mbp (chr1..22, X, Y)
+HG38_MBP = [248, 242, 198, 190, 181, 171, 159, 145, 138, 134, 135, 133,
+            114, 107, 102, 90, 83, 80, 59, 64, 47, 51, 156, 57]
+BASES = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def write_chrom(f, name, codes):
+    f.write(b">" + name.encode() + b"\n")
+    seq = BASES[codes]
+    width = 70
+    n = seq.shape[0]
+    rows = n // width
+    body = np.empty((rows, width + 1), dtype=np.uint8)
+    body[:, :width] = seq[: rows * width].reshape(rows, width)
+    body[:, width] = ord("\n")
+    f.write(body.tobytes())
+    tail = seq[rows * width :]
+    if tail.size:
+        f.write(tail.tobytes() + b"\n")
+
+
+def revcomp_codes(codes):
+    out = codes[::-1].copy()
+    mask = out < 4
+    out[mask] = 3 - out[mask]
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir",
+                    default=os.path.join(
+                        os.environ.get("DART_TPU_BENCH_DIR",
+                                       "/tmp/dart_tpu_bench"),
+                        "grch38_pe_bam"))
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="chromosome length scale (1.0 = hg38 sizes)")
+    ap.add_argument("--pairs", type=int, default=50000)
+    ap.add_argument("--rlen", type=int, default=100)
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    fa = os.path.join(args.workdir, "genome.fa")
+    prefix = os.path.join(args.workdir, "idx")
+    n_reads = args.pairs * 2
+    fq1 = os.path.join(args.workdir, f"reads_{n_reads}_1.fq")
+    fq2 = os.path.join(args.workdir, f"reads_{n_reads}_2.fq")
+
+    lens = [int(m * 1e6 * args.scale) for m in HG38_MBP]
+    names = [f"chr{i}" for i in range(1, 23)] + ["chrX", "chrY"]
+    rng = np.random.default_rng(20260817)
+
+    chrom_codes = {}
+    if not os.path.exists(fa) or not os.path.exists(fq1):
+        log(f"generating {sum(lens)/1e9:.2f} Gbp genome "
+            f"({len(lens)} chromosomes)...")
+        with open(fa, "wb") as f:
+            for name, ln in zip(names, lens):
+                codes = rng.integers(0, 4, ln, dtype=np.uint8)
+                # a few ambiguity runs per chromosome (the packer
+                # substitutes N deterministically, bntseq.c:144)
+                for _ in range(4):
+                    start = int(rng.integers(0, ln - 60))
+                    codes[start:start + int(rng.integers(5, 40))] = 4
+                chrom_codes[name] = codes
+                write_chrom(f, name, codes)
+        log("genome written; simulating read pairs...")
+        rr = np.random.default_rng(20260818)
+        recs1, recs2 = [], []
+        per = args.pairs // len(names) + 1
+        made = 0
+        for name in names:
+            codes = chrom_codes[name]
+            take = min(per, args.pairs - made)
+            if take <= 0:
+                break
+            isz = rr.integers(200, 500, take)
+            pos = rr.integers(0, len(codes) - 500, take)
+            for i in range(take):
+                frag = codes[pos[i]:pos[i] + isz[i]]
+                a = frag[:args.rlen].copy()
+                b = revcomp_codes(frag[-args.rlen:])
+                for m in (a, b):
+                    mut = (rr.random(args.rlen) < 0.005) & (m < 4)
+                    if mut.any():
+                        m[mut] = (m[mut] + rr.integers(1, 4, int(mut.sum()),
+                                                       dtype=np.uint8)) % 4
+                nm = f"p{made}_{name}:{pos[i]+1}"
+                recs1.append((nm, BASES[a].tobytes().decode()))
+                recs2.append((nm, BASES[b].tobytes().decode()))
+                made += 1
+        # interleave chromosomes so chunks mix targets
+        order = np.random.default_rng(7).permutation(len(recs1))
+        with open(fq1, "w") as f1, open(fq2, "w") as f2:
+            for j in order:
+                n1, s1 = recs1[j]
+                n2, s2 = recs2[j]
+                f1.write(f"@{n1}\n{s1}\n+\n{'I'*len(s1)}\n")
+                f2.write(f"@{n2}\n{s2}\n+\n{'I'*len(s2)}\n")
+        log(f"{made} pairs written")
+        del chrom_codes
+
+    if not os.path.exists(prefix + ".bwt"):
+        os.environ.setdefault("DART_TPU_BUILD_LOG", "1")
+        from dart_tpu.index import build_index
+
+        log("building index (SA-IS over fwd+RC, ~6.2e9 positions)...")
+        t0 = time.time()
+        build_index(fa, prefix)
+        dt = time.time() - t0
+        log(f"index built in {dt:.0f} s")
+        with open(os.path.join(args.workdir, "meta.json"), "w") as f:
+            json.dump({"index_build_s": round(dt, 2)}, f)
+    log("done")
+
+
+if __name__ == "__main__":
+    main()
