@@ -302,18 +302,28 @@ def run_distributed(cfg, coordinator: str, num_processes: int,
         aligner.native = None  # totals only from the merged map below
         c["total"], c["unique"], c["unmapped"], c["paired"] = (
             int(totals[0]), int(totals[1]), int(totals[2]), int(totals[3]))
-        # host 0 sees only its own shard's bytes on local disk; on a
-        # shared filesystem all shards (and their .idx) are visible
+        # The strided re-interleave below maps chunk j to
+        # shards[j % n] by POSITION, so a missing shard (or missing
+        # .idx meta) would silently reorder/drop records — refuse to
+        # merge instead. Shards land on other hosts' local disks when
+        # there is no shared filesystem; in that case gather the
+        # .shard*/.idx files onto host 0 and rerun, or concatenate
+        # them manually (order across shards is then undefined).
         shards = []
+        missing = []
         for pid in range(num_processes):
             shard = f"{cfg.output_file}.shard{pid:04d}"
-            if not os.path.exists(shard):
+            if not (os.path.exists(shard) and os.path.exists(shard + ".idx")):
+                missing.append(shard)
                 continue
-            meta = None
-            if os.path.exists(shard + ".idx"):
-                with open(shard + ".idx") as f:
-                    meta = json.load(f)
+            with open(shard + ".idx") as f:
+                meta = json.load(f)
             shards.append((open(shard, "rb"), meta))
+        if missing:
+            raise RuntimeError(
+                "cannot merge output shards: missing shard files or "
+                ".idx metadata on host 0 (no shared filesystem?): "
+                + ", ".join(missing))
 
         def merged_pieces():
             """Yield shard byte ranges in single-host output order:

@@ -1,6 +1,13 @@
 """Multi-host run: 2 local jax.distributed processes over byte-range
 input shards must reproduce the single-host golden output exactly
-(SAM concatenated in shard order + additively merged junction table)."""
+(SAM concatenated in shard order + additively merged junction table).
+
+Contention caveat: Gloo's collective-context init has a hardcoded
+30 s key-value timeout (C++, not tunable from Python); on a 1-core
+host running other heavy jobs the peer process can be starved past
+it, failing a test with DEADLINE_EXCEEDED. Rerun on a quieter host —
+the subprocess timeouts here are sized (900 s) so only that inner
+Gloo limit is the flake point."""
 
 import os
 import socket
@@ -57,7 +64,7 @@ def test_two_process_run_matches_golden(tmp_path, reads, golden, extra):
                                       stderr=subprocess.PIPE))
     for p in procs:
         try:
-            outb, errb = p.communicate(timeout=300)
+            outb, errb = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -97,7 +104,7 @@ def test_two_process_bam_output(tmp_path):
                                       stderr=subprocess.PIPE))
     for p in procs:
         try:
-            _, errb = p.communicate(timeout=300)
+            _, errb = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -143,7 +150,7 @@ def test_two_process_checkpoint_resume(tmp_path):
         outs = []
         for p in procs:
             try:
-                outs.append(p.communicate(timeout=300))
+                outs.append(p.communicate(timeout=900))
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
