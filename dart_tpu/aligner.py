@@ -325,10 +325,13 @@ class DartAligner:
                    reader_kind: str) -> None:
         import json
 
+        from .constants import RAMP_READS
+
         state = {"file_idx": file_idx, "chunks": chunks,
                  "sam_bytes": sam_bytes, "counters": self.counters,
                  "batch_reads": self.cfg.batch_reads,
                  "output_format": self.cfg.output_format,
+                 "ramp_reads": RAMP_READS,
                  "reader": reader_kind,
                  "sj": [[g1, g2, v[0], v[1]] for (g1, g2), v in
                         sorted(self._merged_sj().items())]}
@@ -345,8 +348,12 @@ class DartAligner:
             return None
         with open(path) as f:
             state = json.load(f)
+        from .constants import RAMP_READS
+
         if state.get("batch_reads") != self.cfg.batch_reads:
             return None  # chunk boundaries would not line up
+        if state.get("ramp_reads") != RAMP_READS:
+            return None  # first-chunk ramp changed: boundaries moved
         if state.get("output_format", 0) != self.cfg.output_format:
             return None  # SAM checkpoint cannot resume a BAM run etc.
         if not os.path.exists(self.cfg.output_file):

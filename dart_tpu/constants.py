@@ -29,6 +29,15 @@ SHIFT_ARR = (0, 1, -1, 2, -2, 3, -3, 4, -4, 5, -5, 6, -6, 7, -7, 8, -8, 9, -9)
 READ_CHUNK_SIZE = 4000
 CHUNK_BASE_LIMIT = 1000000
 
+# First-chunk ramp: when the configured chunk is larger than this, the
+# FIRST chunk of every file is capped here so the device pipeline
+# starts after a few milliseconds of parsing instead of the full
+# chunk's worth (the first chunk's parse is the only one that cannot
+# overlap device work). Deterministic, so checkpoint resume boundaries
+# line up; checkpoints record the value and refuse to resume across a
+# change.
+RAMP_READS = 4096
+
 KMER_SIZE = 8
 KMER_POWER = 0x3FFF
 

@@ -13,7 +13,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..constants import CHUNK_BASE_LIMIT, NT4_TABLE, READ_CHUNK_SIZE
+from ..constants import (CHUNK_BASE_LIMIT, NT4_TABLE, RAMP_READS,
+                         READ_CHUNK_SIZE)
 
 COMP_TABLE = np.full(256, ord("N"), dtype=np.uint8)
 for _a, _b in [("A", "T"), ("a", "T"), ("C", "G"), ("c", "G"),
@@ -138,8 +139,14 @@ class ChunkReader:
         self.r2 = _LineReader(path2, path2.endswith(".gz")) if path2 else None
         self.pair_end = pair_end or path2 is not None
         self.sep_library = path2 is not None
+        self._first = True  # first-chunk ramp (constants.RAMP_READS)
 
     def next_chunk(self) -> list[ReadItem]:
+        lim = self.chunk_reads
+        if self._first:
+            self._first = False
+            if lim > RAMP_READS:
+                lim = RAMP_READS
         out: list[ReadItem] = []
         bases = 0
         while True:
@@ -159,7 +166,7 @@ class ChunkReader:
             encode(b)
             out.append(b)
             bases += b.rlen
-            if len(out) >= self.chunk_reads or bases > self.chunk_bases:
+            if len(out) >= lim or bases > self.chunk_bases:
                 break
         return out
 

@@ -16,7 +16,8 @@ import gzip
 
 import numpy as np
 
-from ..constants import CHUNK_BASE_LIMIT, NT4_TABLE, READ_CHUNK_SIZE
+from ..constants import (CHUNK_BASE_LIMIT, NT4_TABLE, RAMP_READS,
+                         READ_CHUNK_SIZE)
 
 COMP_CODES = np.full(256, ord("N"), dtype=np.uint8)
 for _a, _b in [("A", "T"), ("a", "T"), ("C", "G"), ("c", "G"),
@@ -124,6 +125,7 @@ class FastChunkReader:
             1, chunk_reads // READ_CHUNK_SIZE)
         self._parse()
         self.cursor = 0
+        self._first = True  # first-chunk ramp (constants.RAMP_READS)
 
     def _parse(self):
         buf = self.buf
@@ -201,12 +203,17 @@ class FastChunkReader:
 
     def next_chunk(self):
         a = self.cursor
+        lim = self.chunk_reads
+        if self._first:
+            self._first = False
+            if lim > RAMP_READS:
+                lim = RAMP_READS
         # the streaming reader pulls records pairwise, so chunk sizes
         # round up to even (GetNextChunk semantics); it also closes a
         # chunk at the first pair that pushes cumulative bases past the
         # chunk_bases cap — replicated here over the precomputed
         # record-length prefix sums
-        max_n = min((self.chunk_reads + 1) & ~1, self.n_reads - a)
+        max_n = min((lim + 1) & ~1, self.n_reads - a)
         if max_n <= 0:
             return None
         cum = np.cumsum(self.rec_lens[a:a + max_n])
@@ -256,6 +263,7 @@ class FastPairedReader:
             1, chunk_reads // READ_CHUNK_SIZE)
         self.cursor = 0
         self.n_pairs = min(self.r1.n_reads, self.r2.n_reads)
+        self._first = True  # first-chunk ramp (constants.RAMP_READS)
 
     @staticmethod
     def _interleave(bufA, sA, eA, bufB, sB, eB):
@@ -286,7 +294,12 @@ class FastPairedReader:
 
     def next_chunk(self):
         a = self.cursor
-        max_p = min(self.pairs_per_chunk, self.n_pairs - a)
+        lim_p = self.pairs_per_chunk
+        if self._first:
+            self._first = False
+            if lim_p > RAMP_READS // 2:
+                lim_p = RAMP_READS // 2
+        max_p = min(lim_p, self.n_pairs - a)
         if max_p <= 0:
             return None
         # close at the first pair that pushes cumulative bases (both
