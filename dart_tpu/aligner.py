@@ -87,20 +87,11 @@ def make_engine(idx: Index, cfg: DartConfig):
             from .ops.fm_jax_wide import FMIndexJaxWide
 
             index_mesh = None
-            if index_n > 1:
-                from jax.sharding import Mesh
+            if index_n > 1 or data_n > 1:
+                from .parallel.mesh import make_mesh
 
-                import numpy as _np
-
-                index_mesh = Mesh(_np.asarray(jax.devices()[:index_n]),
-                                  ("index",))
-            if data_n > 1:
-                import warnings
-
-                warnings.warn(
-                    "--mesh data=%d is not yet wired into the wide "
-                    "(>2^31) engine; running data-unsharded" % data_n,
-                    stacklevel=2)
+                index_mesh = make_mesh(data_n * index_n,
+                                       index_shards=index_n)
             return FMIndexJaxWide(idx, max_dup_num=cfg.max_dup_num,
                                   index_mesh=index_mesh, lut_k=lut_k)
         if data_n > 1 or index_n > 1:

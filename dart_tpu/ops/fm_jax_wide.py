@@ -790,22 +790,41 @@ class FMIndexJaxWide:
     """64-bit device engine; engine API-compatible with FMIndexJax
     (seed_submit_packed/seed_finish/seed_reads/locate) so the whole aligner
     pipeline runs unchanged on GRCh38-scale genomes. Pass index_mesh
-    (a Mesh with an "index" axis) to range-shard the block/SA tables
-    over multiple chips when the index exceeds one chip's HBM."""
+    (a Mesh with an "index" and/or "data" axis) to range-shard the
+    block/SA tables over multiple chips when the index exceeds one
+    chip's HBM and/or run the automaton data-parallel over read lanes
+    (same GSPMD formulation as the narrow FMIndexJax: per-lane state is
+    batch-sharded, the only cross-lane ops are gathers from the —
+    possibly index-sharded — table)."""
 
     def __init__(self, idx: Index, device=None, max_dup_num: int = 100,
                  index_mesh=None, lut_k: int = 0):
         tab_sharding = device
         vec_sharding = device
-        self._jit_opts = {}
+        self._seed_sh = {}
+        self._loc_sh = {}
         self._min_bucket = 1024
         n_shards = 1
         if index_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            tab_sharding = NamedSharding(index_mesh, P("index", None))
-            vec_sharding = NamedSharding(index_mesh, P())
-            n_shards = int(index_mesh.shape["index"])
+            axes = dict(index_mesh.shape)
+            n_shards = int(axes.get("index", 1))
+            data_n = int(axes.get("data", 1))
+            rep = NamedSharding(index_mesh, P())
+            tab_sharding = (NamedSharding(index_mesh, P("index", None))
+                            if n_shards > 1 else rep)
+            vec_sharding = rep
+            if data_n > 1:
+                d1 = NamedSharding(index_mesh, P("data"))
+                d2 = NamedSharding(index_mesh, P("data", None))
+                self._seed_sh = dict(
+                    in_shardings=(tab_sharding, rep, rep, rep, d2),
+                    out_shardings=d2)
+                self._loc_sh = dict(
+                    in_shardings=(tab_sharding, rep, rep, d1, d1),
+                    out_shardings=d2)
+                self._min_bucket = max(1024, 128 * index_mesh.devices.size)
         blocks = build_device_layout_wide(idx)
         if n_shards > 1:
             # pad to a shard-divisible row count (pad rows are never
@@ -895,7 +914,7 @@ class FMIndexJaxWide:
                 read_len=Lp, lut_k=self.lut_k, ref_off=self.ref_off,
                 sad_off=self.sad_off, sa_intv=self.sa_intv,
                 seq_len=self.seq_len, use_nmask=use_nmask),
-                **self._jit_opts)
+                **self._seed_sh)
         return self._seed_jit[key](self.blocks, self.L2lo, self.L2hi,
                                    self._lut, jnp.asarray(buf))
 
@@ -1024,7 +1043,7 @@ class FMIndexJaxWide:
             self._locate_jit[key] = jax.jit(functools.partial(
                 _locate_kernel_wide, primary=self.primary,
                 sa_intv=self.sa_intv, sad_off=self.sad_off,
-                max_iters=T), **self._jit_opts)
+                max_iters=T), **self._loc_sh)
         return self._locate_jit[key](
             self.blocks, self.L2lo, self.L2hi,
             jnp.asarray(klo), jnp.asarray(khi))

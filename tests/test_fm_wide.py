@@ -179,6 +179,36 @@ def test_wide_sharded_index_matches(toy_index, fm):
     np.testing.assert_array_equal(wide.locate(rows), fm.locate(rows))
 
 
+def test_wide_data_index_mesh_matches(toy_index, fm):
+    """The full ("data", "index") mesh — read lanes data-sharded AND
+    the table index-sharded — must not change any result (the flagship
+    multi-chip GRCh38 shape: make_engine builds this mesh for --mesh
+    data=N,index=M on a wide-genome index)."""
+    import jax
+
+    from dart_tpu.ops.fm_jax_wide import FMIndexJaxWide
+    from dart_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices("cpu")) < 4:
+        pytest.skip("needs a 4-device CPU mesh")
+    mesh = make_mesh(4, index_shards=2, backend="cpu")
+    wide = FMIndexJaxWide(toy_index, max_dup_num=100, index_mesh=mesh,
+                          lut_k=4)
+    codes, rlens = _sample_reads(toy_index, 24, 96, seed=41)
+    rlens[:2] = [17, 33]
+    codes[7, 50:53] = 4
+    got = wide.seed_reads(codes, rlens)
+    from dart_tpu.aligner import _NumpyEngine
+    from dart_tpu.pipeline.seeding import seed_reads_from_all_walks
+
+    want = seed_reads_from_all_walks(
+        _NumpyEngine(fm, 100), codes, rlens, 100)
+    _assert_seed_tables_match(fm, got, want, 24)
+    rng = np.random.default_rng(8)
+    rows = rng.integers(1, toy_index.seq_len, 300, dtype=np.int64)
+    np.testing.assert_array_equal(wide.locate(rows), fm.locate(rows))
+
+
 def test_lean_numpy_occ_matches_full(toy_index):
     """The checkpoint-based lean occ mode (the >2^31 oracle) must equal
     the full-table mode."""
