@@ -99,4 +99,19 @@ int32_t dart_pack_reads(const uint8_t* seq_blob, const int64_t* seq_off,
   return n_with_n;
 }
 
+// Sequential lrand48()&3 stream for the index builder's N->random-base
+// substitution (bntseq.c:144,173-174 semantics; POSIX drand48 LCG).
+// state holds the 48-bit LCG register; updated in place so interleaved
+// native/Python draws stay one stream.
+void dart_lrand48_fill(uint64_t* state, uint8_t* out, int64_t n) {
+  uint64_t x = *state;
+  const uint64_t A = 0x5DEECE66DULL, C = 0xBULL,
+                 MASK = (1ULL << 48) - 1;
+  for (int64_t i = 0; i < n; ++i) {
+    x = (A * x + C) & MASK;
+    out[i] = (uint8_t)((x >> 17) & 3);
+  }
+  *state = x;
+}
+
 }  // extern "C"

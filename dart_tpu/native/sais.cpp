@@ -10,8 +10,12 @@
 //   - bit-packed type maps for the integer recursion levels,
 //   - int32 recursion when the reduced problem fits (halves the
 //     random-access footprint of every level below the root),
-//   - 2 MB-hugepage-backed scratch buffers (madvise) so the 50 GB SA
-//     walk at GRCh38 scale is not TLB-bound.
+//   - plain 4 KB-page scratch buffers: MADV_HUGEPAGE was measured on
+//     this VM class at 10 MB/s first-touch (65x slower than 4 KB
+//     pages) and ~10x slower warm sequential writes, with NO warm
+//     random-read benefit (21 vs 24 ns on a 512 MB buffer) — THP is
+//     actively harmful under this hypervisor, so the builder never
+//     asks for it.
 // Used by the dart_tpu index builder to derive the BWT/FM-index
 // (the reference derives it with a block-incremental BWT-SW variant,
 // /root/reference/src/BWT_Index/bwt_gen.c; the resulting BWT is
@@ -39,13 +43,8 @@ void blog(const char* what, int64_t n) {
   fprintf(stderr, "[sais %s] %s (n=%lld)\n", ts, what, (long long)n);
 }
 
-void advise_huge(void* ptr, size_t bytes) {
-  uintptr_t a = (uintptr_t(ptr) + 4095) & ~uintptr_t(4095);
-  uintptr_t end = (uintptr_t(ptr) + bytes) & ~uintptr_t(4095);
-  if (end > a) madvise(reinterpret_cast<void*>(a), end - a, MADV_HUGEPAGE);
-}
-
-// Zero-initialized scratch buffer on anonymous hugepage-advised mmap.
+// Zero-initialized scratch buffer on anonymous mmap (4 KB pages; see
+// the THP measurement in the header comment).
 template <typename T>
 struct Buf {
   T* p = nullptr;
@@ -62,7 +61,6 @@ struct Buf {
     void* m = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
                    MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
     if (m == MAP_FAILED) { bytes = 0; throw std::bad_alloc(); }
-    madvise(m, bytes, MADV_HUGEPAGE);
     p = static_cast<T*>(m);
   }
   void release() {
@@ -256,7 +254,6 @@ void sais_core(const TChar* T, TIdx* SA, TIdx n, TIdx K) {
 // pass. sa_full[0] is always n (the sentinel row). Returns primary.
 int64_t index_core_impl(const uint8_t* T, int64_t n, int64_t K,
                         int64_t* sa_full, uint8_t* bwt) {
-  advise_huge(sa_full, size_t(n + 1) * sizeof(int64_t));
   Buf<uint8_t> Tp(size_t(n) + 1);
   Tp.p[n] = 0x40;  // sentinel: char 0, S-type
   bool tn = true;
@@ -275,7 +272,6 @@ int64_t index_core_impl(const uint8_t* T, int64_t n, int64_t K,
     // Row k of the BWT matrix holds text[sa_full[k]-1]; the row whose
     // suffix is the whole text (value 0) is `primary` and its sentinel
     // char is omitted from storage (bwt_index.cpp / bwt.h convention).
-    advise_huge(bwt, size_t(n));
     int64_t out = 0;
     constexpr int64_t D = 64;
     for (int64_t k = 0; k <= n; ++k) {
@@ -291,6 +287,7 @@ int64_t index_core_impl(const uint8_t* T, int64_t n, int64_t K,
     for (int64_t k = 0; k <= n; ++k)
       if (sa_full[k] == 0) { primary = k; break; }
   }
+  blog("bwt derived", n);
   return primary;
 }
 
