@@ -73,9 +73,19 @@ struct Buf {
 // TChar == uint8_t means the caller folded the S-type bit into bit 6 of
 // each byte (values occupy the low 6 bits); integer TChar levels carry
 // a separate bit-packed type map.
+// At the top level (byte text, int64 indices) every SA entry carries
+// the FOLDED BYTE OF ITS PREDECESSOR character (T[v-1], char + S/L
+// type bit) in bits 62..56: the induced-sort consume step then needs
+// NO random text read at all — the one remaining random read (packing
+// the next predecessor byte at produce time) is off the critical path
+// and overlaps freely. The final packed SA also hands the BWT
+// derivation its answer byte for free. Values must fit 56 bits
+// (GRCh38 fwd+RC is 2^33) and K <= 63 keeps the byte in 7 bits, so
+// empty slots (-1, sign bit set) stay distinguishable.
 template <typename TIdx, typename TChar>
 void sais_core(const TChar* T, TIdx* SA, TIdx n, TIdx K) {
   constexpr bool FOLD = sizeof(TChar) == 1;
+  constexpr bool PACK = FOLD && sizeof(TIdx) == 8;
   constexpr TIdx D1 = 64, D2 = 16;  // prefetch distances: text, buckets
   if (n <= 0) return;
   if (n == 1) { SA[0] = 0; return; }
@@ -105,6 +115,15 @@ void sais_core(const TChar* T, TIdx* SA, TIdx n, TIdx K) {
     __builtin_prefetch(&T[i], 0, 1);
     if constexpr (!FOLD) __builtin_prefetch(&tm[uint64_t(i) >> 6], 0, 1);
   };
+  // Entry packing (PACK levels): value in bits 55..0, folded byte of
+  // T[v-1] in bits 62..56. v == 0 packs byte 0, so e > 0 <=> v > 0
+  // (folded chars are >= 1) and empty slots stay negative.
+  auto mk = [&](TIdx v) -> TIdx {
+    if constexpr (PACK)
+      return v | (TIdx(v > 0 ? T[v - 1] : TChar(0)) << 56);
+    else
+      return v;
+  };
 
   Buf<TIdx> Cb(size_t(K) + 2), Bb(size_t(K) + 2);
   TIdx* C = Cb.p;
@@ -124,26 +143,70 @@ void sais_core(const TChar* T, TIdx* SA, TIdx n, TIdx K) {
 
   auto induceL = [&]() {
     getStarts();
-    for (TIdx i = 0; i < n; ++i) {
-      if (i + D1 < n) { TIdx jp = SA[i + D1]; if (jp > 0) pfT(jp - 1); }
-      if (i + D2 < n) {
-        TIdx jq = SA[i + D2];
-        if (jq > 0 && !tget(jq - 1)) __builtin_prefetch(&B[chr(jq - 1)], 1, 1);
+    if constexpr (PACK) {
+      constexpr TIdx VMASK = (TIdx(1) << 56) - 1;
+      for (TIdx i = 0; i < n; ++i) {
+        if (i + D2 < n) {
+          TIdx eq = SA[i + D2];
+          if (eq > 0) {
+            int cb = int(eq >> 56);
+            if (!(cb & 0x40)) {
+              __builtin_prefetch(&B[cb & 0x3F], 1, 1);
+              __builtin_prefetch(&T[(eq & VMASK) - 2], 0, 1);
+            }
+          }
+        }
+        TIdx e = SA[i];
+        if (e <= 0) continue;               // empty slot or sentinel pos
+        int cb = int(e >> 56);
+        if (cb & 0x40) continue;            // predecessor is S-type
+        TIdx w = (e & VMASK) - 1;
+        SA[B[cb & 0x3F]++] = mk(w);
       }
-      TIdx j = SA[i];
-      if (j > 0 && !tget(j - 1)) SA[B[chr(j - 1)]++] = j - 1;
+    } else {
+      for (TIdx i = 0; i < n; ++i) {
+        if (i + D1 < n) { TIdx jp = SA[i + D1]; if (jp > 0) pfT(jp - 1); }
+        if (i + D2 < n) {
+          TIdx jq = SA[i + D2];
+          if (jq > 0 && !tget(jq - 1)) __builtin_prefetch(&B[chr(jq - 1)], 1, 1);
+        }
+        TIdx j = SA[i];
+        if (j > 0 && !tget(j - 1)) SA[B[chr(j - 1)]++] = j - 1;
+      }
     }
   };
   auto induceS = [&]() {
     getEnds();
-    for (TIdx i = n - 1; i >= 0; --i) {
-      if (i >= D1) { TIdx jp = SA[i - D1]; if (jp > 0) pfT(jp - 1); }
-      if (i >= D2) {
-        TIdx jq = SA[i - D2];
-        if (jq > 0 && tget(jq - 1)) __builtin_prefetch(&B[chr(jq - 1)], 1, 1);
+    if constexpr (PACK) {
+      constexpr TIdx VMASK = (TIdx(1) << 56) - 1;
+      for (TIdx i = n - 1; i >= 0; --i) {
+        if (i >= D2) {
+          TIdx eq = SA[i - D2];
+          if (eq > 0) {
+            int cb = int(eq >> 56);
+            if (cb & 0x40) {
+              __builtin_prefetch(&B[cb & 0x3F], 1, 1);
+              __builtin_prefetch(&T[(eq & VMASK) - 2], 0, 1);
+            }
+          }
+        }
+        TIdx e = SA[i];
+        if (e <= 0) continue;
+        int cb = int(e >> 56);
+        if (!(cb & 0x40)) continue;         // predecessor is L-type
+        TIdx w = (e & VMASK) - 1;
+        SA[--B[cb & 0x3F]] = mk(w);
       }
-      TIdx j = SA[i];
-      if (j > 0 && tget(j - 1)) SA[--B[chr(j - 1)]] = j - 1;
+    } else {
+      for (TIdx i = n - 1; i >= 0; --i) {
+        if (i >= D1) { TIdx jp = SA[i - D1]; if (jp > 0) pfT(jp - 1); }
+        if (i >= D2) {
+          TIdx jq = SA[i - D2];
+          if (jq > 0 && tget(jq - 1)) __builtin_prefetch(&B[chr(jq - 1)], 1, 1);
+        }
+        TIdx j = SA[i];
+        if (j > 0 && tget(j - 1)) SA[--B[chr(j - 1)]] = j - 1;
+      }
     }
   };
 
@@ -153,16 +216,33 @@ void sais_core(const TChar* T, TIdx* SA, TIdx n, TIdx K) {
   getEnds();
   for (TIdx i = n - 1; i >= 1; --i) {
     if (i >= D2) __builtin_prefetch(&B[chr(i - D2)], 1, 1);
-    if (isLMS(i)) SA[--B[chr(i)]] = i;
+    if (isLMS(i)) SA[--B[chr(i)]] = mk(i);
   }
   induceL();
   induceS();
 
-  // Compact the sorted LMS positions into SA[0..n1).
+  // Compact the sorted LMS positions into SA[0..n1), as PLAIN values
+  // (the naming phase consumes them as text positions).
   TIdx n1 = 0;
-  for (TIdx i = 0; i < n; ++i) {
-    if (i + D1 < n) { TIdx jp = SA[i + D1]; if (jp > 0) pfT(jp - 1); }
-    if (isLMS(SA[i])) SA[n1++] = SA[i];
+  if constexpr (PACK) {
+    constexpr TIdx VMASK = (TIdx(1) << 56) - 1;
+    for (TIdx i = 0; i < n; ++i) {
+      if (i + D1 < n) {
+        TIdx ep = SA[i + D1];
+        if (ep > 0) __builtin_prefetch(&T[ep & VMASK], 0, 1);
+      }
+      TIdx e = SA[i];
+      // isLMS(v): S-type at v (random read), L-type at v-1 (packed)
+      if (e > 0 && !(int(e >> 56) & 0x40)) {
+        TIdx v = e & VMASK;
+        if (tget(v)) SA[n1++] = v;
+      }
+    }
+  } else {
+    for (TIdx i = 0; i < n; ++i) {
+      if (i + D1 < n) { TIdx jp = SA[i + D1]; if (jp > 0) pfT(jp - 1); }
+      if (isLMS(SA[i])) SA[n1++] = SA[i];
+    }
   }
 
   blog("naming LMS substrings", int64_t(n1));
@@ -242,10 +322,12 @@ void sais_core(const TChar* T, TIdx* SA, TIdx n, TIdx K) {
     }
     TIdx j = SA[i];
     SA[i] = -1;
-    SA[--B[chr(j)]] = j;
+    SA[--B[chr(j)]] = mk(j);
   }
   induceL();
   induceS();
+  // PACK levels return the SA with the predecessor byte still in bits
+  // 62..56; the caller strips it (and harvests the BWT from it).
 }
 
 // Build the folded (+1-shifted, type-bit-tagged) text with the
@@ -267,25 +349,21 @@ int64_t index_core_impl(const uint8_t* T, int64_t n, int64_t K,
   }
   sais_core<int64_t, uint8_t>(Tp.p, sa_full, n + 1, K);
   blog("suffix array done; deriving BWT", n);
+  // The packed top-level SA carries each row's predecessor byte in
+  // bits 62..56 — exactly the BWT byte — so unpacking the values and
+  // deriving the BWT is ONE sequential pass with zero random reads.
+  // Row k of the BWT matrix holds text[sa_full[k]-1]; the row whose
+  // suffix is the whole text (value 0) is `primary` and its sentinel
+  // char is omitted from storage (bwt_index.cpp / bwt.h convention).
+  constexpr int64_t VMASK = (int64_t(1) << 56) - 1;
   int64_t primary = -1;
-  if (bwt) {
-    // Row k of the BWT matrix holds text[sa_full[k]-1]; the row whose
-    // suffix is the whole text (value 0) is `primary` and its sentinel
-    // char is omitted from storage (bwt_index.cpp / bwt.h convention).
-    int64_t out = 0;
-    constexpr int64_t D = 64;
-    for (int64_t k = 0; k <= n; ++k) {
-      if (k + D <= n) {
-        int64_t jp = sa_full[k + D];
-        if (jp > 0) __builtin_prefetch(&Tp.p[jp - 1], 0, 1);
-      }
-      int64_t j = sa_full[k];
-      if (j == 0) { primary = k; continue; }
-      bwt[out++] = uint8_t((Tp.p[j - 1] & 0x3F) - 1);
-    }
-  } else {
-    for (int64_t k = 0; k <= n; ++k)
-      if (sa_full[k] == 0) { primary = k; break; }
+  int64_t out = 0;
+  for (int64_t k = 0; k <= n; ++k) {
+    int64_t e = sa_full[k];
+    int64_t v = e & VMASK;
+    sa_full[k] = v;
+    if (v == 0) { primary = k; continue; }
+    if (bwt) bwt[out++] = uint8_t((int(e >> 56) & 0x3F) - 1);
   }
   blog("bwt derived", n);
   return primary;
@@ -302,6 +380,7 @@ extern "C" {
 int64_t dart_sais_u8(const uint8_t* T, int64_t* SA, int64_t n, int64_t K) {
   if (n <= 0) return 0;
   if (K > 63) return -1;  // type-bit folding needs values in 6 bits
+  if (n >= (int64_t(1) << 55)) return -1;  // entry packing needs 56-bit values
   Buf<int64_t> SAp(size_t(n) + 1);
   index_core_impl(T, n, K, SAp.p, nullptr);
   std::memcpy(SA, SAp.p + 1, sizeof(int64_t) * size_t(n));
@@ -317,6 +396,7 @@ int64_t dart_sais_u8(const uint8_t* T, int64_t* SA, int64_t n, int64_t K) {
 int64_t dart_index_core(const uint8_t* T, int64_t n, int64_t K,
                         int64_t* sa_full, uint8_t* bwt) {
   if (n <= 0 || K > 63) return -1;
+  if (n >= (int64_t(1) << 55)) return -1;  // entry packing needs 56-bit values
   return index_core_impl(T, n, K, sa_full, bwt);
 }
 
