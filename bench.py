@@ -91,6 +91,25 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def host_fault_mbps() -> float:
+    """First-touch anonymous-memory speed (MB/s) right now. This host
+    swings between ~6 MB/s and ~2700 MB/s for sustained fresh
+    allocation (hypervisor ballooning); a degraded window multiplies
+    every index load — ours AND each reference pass — so the recorded
+    number travels with the results to qualify the window."""
+    import mmap
+
+    sz = 256 << 20
+    m = mmap.mmap(-1, sz)
+    t0 = time.time()
+    step = mmap.PAGESIZE
+    for off in range(0, sz, step):
+        m[off] = 1
+    dt = time.time() - t0
+    m.close()
+    return round(sz / 1e6 / max(dt, 1e-9), 1)
+
+
 def _read_genome(fa: str) -> dict[str, str]:
     genome: dict[str, str] = {}
     name = None
@@ -476,6 +495,9 @@ def parity_check(cname: str, spec: dict, ds: dict, ref_sam: str | None) -> str:
 
 def main() -> int:
     results = {}
+    fault_mbps = host_fault_mbps()
+    log(f"bench: host anon-fault speed {fault_mbps:.0f} MB/s "
+        f"({'DEGRADED window - index loads will crawl' if fault_mbps < 200 else 'ok'})")
     for cname, spec in CONFIGS.items():
         ds = ensure_dataset(cname, spec)
         if ds is None:
@@ -500,6 +522,7 @@ def main() -> int:
         "value": head["reads_per_sec"],
         "unit": "reads/s",
         "vs_baseline": head["vs_baseline"],
+        "host_fault_mbps": fault_mbps,
         "configs": results,
     }))
     return 0
