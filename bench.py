@@ -82,7 +82,7 @@ CONFIGS = {
         # build is hours of SA-IS and must not run inside the bench
         "genome": None, "prebuilt": True,
         "n_reads": 100_000, "paired": True, "bam": True,
-        "passes": 4,
+        "passes": 4, "wall_budget_s": 3600,
     },
 }
 
@@ -371,7 +371,18 @@ def measure_both(cname: str, spec: dict, ds: dict):
     ours: list[float] = []
     ref: list[float] = []
     max_passes = spec["passes"] + 4
+    # soft wall budget: in a degraded host window one GRCh38-scale
+    # reference pass can cost 25+ min of page faulting; once both
+    # sides have at least one pass, stop sampling at the budget and
+    # record what we have (spread/passes expose the quality)
+    budget_s = spec.get("wall_budget_s", 1800)
+    t_loop = time.time()
     for i in range(max_passes):
+        if (time.time() - t_loop > budget_s and ours
+                and (ref_cmd is None or ref)):
+            log(f"bench[{cname}]: wall budget {budget_s}s exhausted "
+                f"after {len(ours)}+{len(ref)} passes")
+            break
         if ref_cmd is not None and not (len(ref) >= 2 and _converged(ref)):
             t0 = time.time()
             subprocess.run(ref_cmd, check=True, capture_output=True,
@@ -499,14 +510,22 @@ def main() -> int:
     log(f"bench: host anon-fault speed {fault_mbps:.0f} MB/s "
         f"({'DEGRADED window - index loads will crawl' if fault_mbps < 200 else 'ok'})")
     for cname, spec in CONFIGS.items():
-        ds = ensure_dataset(cname, spec)
-        if ds is None:
+        # fail-soft per config: a crash in one config (e.g. the
+        # flagship GRCh38 run hitting an HBM/window limit) must not
+        # lose the other configs' recorded numbers
+        try:
+            ds = ensure_dataset(cname, spec)
+            if ds is None:
+                continue
+            build_s, ref_build_s = time_index_builds(cname, spec, ds)
+            oracle = ensure_parity_oracle(cname, spec, ds)
+            rate, ref_rate, meta = measure_both(cname, spec, ds)
+            note = parity_check(cname, spec, ds, oracle)
+            log(f"bench[{cname}]: parity: {note}")
+        except Exception as e:  # noqa: BLE001
+            log(f"bench[{cname}]: FAILED: {type(e).__name__}: {e}")
+            results[cname] = {"error": f"{type(e).__name__}: {e}"}
             continue
-        build_s, ref_build_s = time_index_builds(cname, spec, ds)
-        oracle = ensure_parity_oracle(cname, spec, ds)
-        rate, ref_rate, meta = measure_both(cname, spec, ds)
-        note = parity_check(cname, spec, ds, oracle)
-        log(f"bench[{cname}]: parity: {note}")
         results[cname] = {
             "reads_per_sec": round(rate, 1),
             "vs_baseline": round(rate / ref_rate, 4) if ref_rate else None,
@@ -516,16 +535,16 @@ def main() -> int:
             "ref_index_build_s": ref_build_s,
             **meta,
         }
-    head = results["8mbp_se"]
+    head = results.get("8mbp_se", {})
     print(json.dumps({
         "metric": "rna_seq_align_throughput",
-        "value": head["reads_per_sec"],
+        "value": head.get("reads_per_sec"),
         "unit": "reads/s",
-        "vs_baseline": head["vs_baseline"],
+        "vs_baseline": head.get("vs_baseline"),
         "host_fault_mbps": fault_mbps,
         "configs": results,
     }))
-    return 0
+    return 0 if "reads_per_sec" in head else 1
 
 
 if __name__ == "__main__":

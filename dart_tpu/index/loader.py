@@ -105,6 +105,43 @@ def deinterleave_bwt(payload: np.ndarray, seq_len: int) -> tuple[np.ndarray, np.
     return codes, occ
 
 
+def _derive_ref(pac_path: str, l_pac: int) -> tuple[np.ndarray, np.ndarray]:
+    """(ref_codes, ref_ascii) = (fwd ++ revcomp, ACGT bytes) from .pac.
+
+    The native single-pass derivation avoids ~4x genome-size NumPy
+    temporaries (decisive at GRCh38 scale in a degraded host-fault
+    window); the NumPy body below is the toolchain-free twin."""
+    with open(pac_path, "rb") as f:
+        data = f.read()
+    rem = data[-1]
+    n = (len(data) - 2) * 4 + rem if rem else (len(data) - 2) * 4
+    assert n == l_pac, (n, l_pac)
+    try:
+        import ctypes
+
+        from ..native import build as native_build
+
+        lib = native_build.load()
+    except Exception:
+        lib = None
+    if lib is not None and hasattr(lib, "dart_ref_from_pac"):
+        pac = np.frombuffer(data[: (n + 3) // 4], dtype=np.uint8)
+        ref_codes = np.empty(2 * l_pac, dtype=np.uint8)
+        ref_ascii = np.empty(2 * l_pac, dtype=np.uint8)
+        lib.dart_ref_from_pac(
+            pac.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(l_pac),
+            ref_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ref_ascii.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return ref_codes, ref_ascii
+    fwd = packer.pac_bytes_to_codes(
+        np.frombuffer(data[: (n + 3) // 4], dtype=np.uint8), n)
+    rc = (3 - fwd[::-1]).astype(np.uint8)
+    ref_codes = np.concatenate([fwd, rc])
+    ref_ascii = np.frombuffer(b"ACGT", dtype=np.uint8)[ref_codes]
+    return ref_codes, ref_ascii
+
+
 def load_index(prefix: str) -> Index:
     # .bwt
     with open(prefix + ".bwt", "rb") as f:
@@ -147,13 +184,8 @@ def load_index(prefix: str) -> Index:
 
     # .ann / .pac
     l_pac, _seed, contigs = packer.read_ann(prefix + ".ann")
-    fwd = packer.read_pac(prefix + ".pac")
-    assert fwd.shape[0] == l_pac, (fwd.shape[0], l_pac)
     assert 2 * l_pac == seq_len
-
-    rc = (3 - fwd[::-1]).astype(np.uint8)
-    ref_codes = np.concatenate([fwd, rc])
-    ref_ascii = np.frombuffer(b"ACGT", dtype=np.uint8)[ref_codes]
+    ref_codes, ref_ascii = _derive_ref(prefix + ".pac", l_pac)
 
     chromosomes: list[Chromosome] = []
     keys = []

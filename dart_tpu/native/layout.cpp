@@ -111,4 +111,27 @@ void dart_pack_codes(const uint8_t* codes, int64_t n, uint32_t* out) {
   }
 }
 
+// Derive both reference-sequence arrays straight from the packed .pac
+// payload in one pass: codes = fwd ++ revcomp(fwd), ascii = the same
+// as 'A'/'C'/'G'/'T' bytes. Replaces four multi-GB NumPy temporaries
+// at load time (unpack, reverse, 3-x, concatenate, fancy-index) with
+// two forward and two backward sequential streams — at GRCh38 scale
+// (l_pac=3.1e9) that is ~12 GB of transient allocations avoided,
+// which dominates load wall time whenever the host is in a degraded
+// anon-fault window. Mirrors loader.load_index's ref_codes/ref_ascii.
+void dart_ref_from_pac(const uint8_t* pac, int64_t l_pac,
+                       uint8_t* codes, uint8_t* ascii) {
+  static const uint8_t ACGT[4] = {'A', 'C', 'G', 'T'};
+  const int64_t n2 = 2 * l_pac;
+  for (int64_t i = 0; i < l_pac; ++i) {
+    const uint8_t c =
+        (uint8_t)((pac[i >> 2] >> (2 * (3 - (i & 3)))) & 3);
+    const uint8_t rc = (uint8_t)(3 - c);
+    codes[i] = c;
+    ascii[i] = ACGT[c];
+    codes[n2 - 1 - i] = rc;
+    ascii[n2 - 1 - i] = ACGT[rc];
+  }
+}
+
 }  // extern "C"

@@ -110,3 +110,28 @@ def test_native_wide_layout_matches_numpy(toy_index):
     finally:
         native_build.load = orig
     np.testing.assert_array_equal(got, want)
+
+
+def test_native_ref_from_pac_matches_numpy(tmp_path):
+    """The native one-pass pac -> (codes, ascii) derivation is
+    bit-identical to the NumPy fallback at every l_pac % 4."""
+    import numpy as np
+
+    from dart_tpu.index import loader, packer
+    from dart_tpu.native import build as native_build
+
+    assert hasattr(native_build.load(), "dart_ref_from_pac")
+    rng = np.random.default_rng(7)
+    for n in (257, 258, 259, 260):
+        codes = rng.integers(0, 4, n, dtype=np.uint8)
+        path = str(tmp_path / f"t{n}.pac")
+        packer.write_pac(path, codes)
+        got_c, got_a = loader._derive_ref(path, n)
+        orig = native_build.load
+        native_build.load = lambda: None
+        try:
+            want_c, want_a = loader._derive_ref(path, n)
+        finally:
+            native_build.load = orig
+        np.testing.assert_array_equal(got_c, want_c)
+        np.testing.assert_array_equal(got_a, want_a)
