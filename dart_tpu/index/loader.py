@@ -46,6 +46,9 @@ class Index:
     # dart_tpu extension: dense SA samples for the device locate kernel
     sad_samples: np.ndarray = None  # int32[n] or None
     sad_intv: int = 0
+    # ref_ascii with REF_GUARD 'N' bytes on each side (ref_ascii is a
+    # view into its interior); the native pipeline binds it zero-copy
+    ref_ascii_padded: np.ndarray = None
 
     def chr_lower_bound(self, g_pos) -> np.ndarray:
         """Index into chr_end_keys of the first key >= g_pos
@@ -105,8 +108,21 @@ def deinterleave_bwt(payload: np.ndarray, seq_len: int) -> tuple[np.ndarray, np.
     return codes, occ
 
 
-def _derive_ref(pac_path: str, l_pac: int) -> tuple[np.ndarray, np.ndarray]:
-    """(ref_codes, ref_ascii) = (fwd ++ revcomp, ACGT bytes) from .pac.
+# 'N' guard bytes on each side of the padded ascii buffer: the native
+# pipeline's continuation probes and splice-motif reads may index a few
+# bytes past an alignment at the fwd/RC text boundary (the reference
+# allocates TwoGenomeSize+1 and relies on slack); guards make the reads
+# defined and never match A/C/G/T. Allocated HERE, at load time, so the
+# native pipeline can use the buffer zero-copy instead of re-allocating
+# and copying another genome-size array (6.2 GB at GRCh38 scale).
+REF_GUARD = 256
+
+
+def _derive_ref(pac_path: str, l_pac: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ref_codes, ref_ascii, ref_ascii_padded) from .pac, where
+    ref_codes = fwd ++ revcomp codes, ref_ascii = the same as ACGT
+    bytes, and ref_ascii is a view into ref_ascii_padded's interior
+    (REF_GUARD 'N' bytes on each side).
 
     The native single-pass derivation avoids ~4x genome-size NumPy
     temporaries (decisive at GRCh38 scale in a degraded host-fault
@@ -116,6 +132,10 @@ def _derive_ref(pac_path: str, l_pac: int) -> tuple[np.ndarray, np.ndarray]:
     rem = data[-1]
     n = (len(data) - 2) * 4 + rem if rem else (len(data) - 2) * 4
     assert n == l_pac, (n, l_pac)
+    padded = np.empty(2 * l_pac + 2 * REF_GUARD, dtype=np.uint8)
+    padded[:REF_GUARD] = ord("N")
+    padded[2 * l_pac + REF_GUARD:] = ord("N")
+    ref_ascii = padded[REF_GUARD:2 * l_pac + REF_GUARD]
     try:
         import ctypes
 
@@ -127,19 +147,18 @@ def _derive_ref(pac_path: str, l_pac: int) -> tuple[np.ndarray, np.ndarray]:
     if lib is not None and hasattr(lib, "dart_ref_from_pac"):
         pac = np.frombuffer(data[: (n + 3) // 4], dtype=np.uint8)
         ref_codes = np.empty(2 * l_pac, dtype=np.uint8)
-        ref_ascii = np.empty(2 * l_pac, dtype=np.uint8)
         lib.dart_ref_from_pac(
             pac.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.c_int64(l_pac),
             ref_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ref_ascii.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-        return ref_codes, ref_ascii
+        return ref_codes, ref_ascii, padded
     fwd = packer.pac_bytes_to_codes(
         np.frombuffer(data[: (n + 3) // 4], dtype=np.uint8), n)
     rc = (3 - fwd[::-1]).astype(np.uint8)
     ref_codes = np.concatenate([fwd, rc])
-    ref_ascii = np.frombuffer(b"ACGT", dtype=np.uint8)[ref_codes]
-    return ref_codes, ref_ascii
+    ref_ascii[:] = np.frombuffer(b"ACGT", dtype=np.uint8)[ref_codes]
+    return ref_codes, ref_ascii, padded
 
 
 def load_index(prefix: str) -> Index:
@@ -185,7 +204,7 @@ def load_index(prefix: str) -> Index:
     # .ann / .pac
     l_pac, _seed, contigs = packer.read_ann(prefix + ".ann")
     assert 2 * l_pac == seq_len
-    ref_codes, ref_ascii = _derive_ref(prefix + ".pac", l_pac)
+    ref_codes, ref_ascii, ref_pad = _derive_ref(prefix + ".pac", l_pac)
 
     chromosomes: list[Chromosome] = []
     keys = []
@@ -215,6 +234,7 @@ def load_index(prefix: str) -> Index:
         genome_size=l_pac,
         ref_codes=ref_codes,
         ref_ascii=ref_ascii,
+        ref_ascii_padded=ref_pad,
         chromosomes=chromosomes,
         chr_end_keys=chr_end_keys,
         chr_end_idx=chr_end_idx,

@@ -136,10 +136,18 @@ class NativePipeline:
         # an alignment at the fwd/RC text boundary (the reference
         # allocates TwoGenomeSize+1 and relies on slack; guards make
         # the reads defined and never match A/C/G/T)
-        GUARD = 256
-        padded = np.full(idx.ref_ascii.shape[0] + 2 * GUARD, ord("N"),
-                         dtype=np.uint8)
-        padded[GUARD:GUARD + idx.ref_ascii.shape[0]] = idx.ref_ascii
+        from ..index.loader import REF_GUARD as GUARD
+        if (getattr(idx, "ref_ascii_padded", None) is not None
+                and idx.ref_ascii_padded.shape[0]
+                == idx.ref_ascii.shape[0] + 2 * GUARD):
+            # loader already allocated the guarded buffer; bind it
+            # zero-copy (saves a genome-size alloc+copy — 6.2 GB at
+            # GRCh38 scale)
+            padded = idx.ref_ascii_padded
+        else:
+            padded = np.full(idx.ref_ascii.shape[0] + 2 * GUARD, ord("N"),
+                             dtype=np.uint8)
+            padded[GUARD:GUARD + idx.ref_ascii.shape[0]] = idx.ref_ascii
         self._ref = padded
         self._ref_base = ctypes.cast(
             ctypes.c_void_p(padded.ctypes.data + GUARD),

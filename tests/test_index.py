@@ -126,12 +126,17 @@ def test_native_ref_from_pac_matches_numpy(tmp_path):
         codes = rng.integers(0, 4, n, dtype=np.uint8)
         path = str(tmp_path / f"t{n}.pac")
         packer.write_pac(path, codes)
-        got_c, got_a = loader._derive_ref(path, n)
+        got_c, got_a, got_p = loader._derive_ref(path, n)
         orig = native_build.load
         native_build.load = lambda: None
         try:
-            want_c, want_a = loader._derive_ref(path, n)
+            want_c, want_a, want_p = loader._derive_ref(path, n)
         finally:
             native_build.load = orig
         np.testing.assert_array_equal(got_c, want_c)
         np.testing.assert_array_equal(got_a, want_a)
+        for p, a in ((got_p, got_a), (want_p, want_a)):
+            assert p.shape[0] == a.shape[0] + 2 * loader.REF_GUARD
+            assert (p[:loader.REF_GUARD] == ord("N")).all()
+            assert (p[-loader.REF_GUARD:] == ord("N")).all()
+            assert np.shares_memory(a, p)
