@@ -391,7 +391,7 @@ class DartAligner:
                                    threads=cfg.threads)
                 writer.write_header(self.header_lines())  # ref map only
             else:
-                out_stream = open(cfg.output_file, "a")
+                out_stream = open(cfg.output_file, "ab")
             own = True
         if out_stream is None and writer is None:
             if cfg.output_format == 1:
@@ -401,16 +401,26 @@ class DartAligner:
                                    threads=cfg.threads)
                 own = True
             else:
-                out_stream = open(cfg.output_file, "w")
+                # binary: the native pipeline emits ready SAM bytes;
+                # a text stream would force a decode+encode round trip
+                # per chunk
+                out_stream = open(cfg.output_file, "wb")
                 own = True
+        import io as _io
+
+        text_out = out_stream is not None and isinstance(out_stream,
+                                                         _io.TextIOBase)
         start = time.time()
         if resume is None:
             header = self.header_lines()
             if writer is not None:
                 writer.write_header(header)
-            else:
+            elif text_out:
                 for line in header:
                     out_stream.write(line + "\n")
+            else:
+                out_stream.write("".join(line + "\n" for line in header)
+                                 .encode("latin-1"))
         files2 = cfg.read_files_2 if cfg.read_files_2 else [None] * len(cfg.read_files_1)
         for file_idx, (path1, path2) in enumerate(zip(cfg.read_files_1, files2)):
             if resume is not None and file_idx < resume["file_idx"]:
@@ -443,15 +453,17 @@ class DartAligner:
                 if isinstance(sam, bytes):
                     if writer is not None:
                         writer.write_sam_bytes(sam)
-                    else:
+                    elif text_out:
                         out_stream.write(sam.decode("latin-1"))
+                    else:
+                        out_stream.write(sam)
                 elif writer is not None:
                     for line in sam:
                         writer.write_record(line)
                 else:
-                    out_stream.write("\n".join(sam))
-                    if sam:
-                        out_stream.write("\n")
+                    text = "\n".join(sam) + ("\n" if sam else "")
+                    out_stream.write(text if text_out
+                                     else text.encode("latin-1"))
                 if not cfg.silent:
                     print(f"\r{self.counters['total']} "
                           f"{'paired-end' if pair_end else 'singled-end'} tags processed "

@@ -58,6 +58,39 @@ def build_device_layout(idx: Index):
     return blocks
 
 
+def build_merged_table(idx: Index, blocks: np.ndarray,
+                       samples_np: np.ndarray, index_shards: int = 1):
+    """Append the fast-extension regions to the block table as extra
+    8-word rows — the 2-bit packed genome (16 bases/word, top-first)
+    and the SA samples — so every automaton mode is served by ONE row
+    gather from ONE table. Returns (merged, ref_off, sad_off).
+    Shared by the engine and the driver entry harness."""
+    n_blocks = blocks.shape[0]
+    seq_len = int(idx.seq_len)
+    n_words = (seq_len + 15) // 16
+    n_wrows = -(-n_words // 8) + 1  # +1: compare may read row+1
+    codes16 = np.zeros((n_wrows * 8 * 16,), dtype=np.uint32)
+    codes16[:seq_len] = np.minimum(idx.ref_codes, 3)
+    w = codes16.reshape(-1, 16)
+    shifts = np.arange(15, -1, -1, dtype=np.uint64) * 2
+    ref_rows = (w.astype(np.uint64) << shifts).sum(
+        axis=1, dtype=np.uint64).astype(np.uint32).reshape(n_wrows, 8)
+    n_srows = -(-samples_np.shape[0] // 8)
+    sad_rows = np.zeros((n_srows * 8,), dtype=np.int32)
+    sad_rows[: samples_np.shape[0]] = samples_np
+    sad_rows = sad_rows.view(np.uint32).reshape(n_srows, 8)
+    ref_off = n_blocks
+    sad_off = n_blocks + n_wrows
+    merged = np.concatenate([blocks, ref_rows, sad_rows])
+    if index_shards > 1 and merged.shape[0] % index_shards:
+        # pad to a shard-divisible row count (pad rows are never
+        # gathered; offsets precede the padding)
+        merged = np.concatenate(
+            [merged, np.zeros(((-merged.shape[0]) % index_shards, 8),
+                              np.uint32)])
+    return merged, ref_off, sad_off
+
+
 def _lut_extend(blocks, L2, x0, x1, x2, *, primary):
     """One LUT-build level: extend every parent walk state by each of
     the 4 bases (children interleaved: child[4i+c] = extend(parent i, c)).
@@ -159,30 +192,8 @@ class FMIndexJax:
         # 8-word rows) the 2-bit packed genome (16 bases/word,
         # top-first) and the SA samples, so every automaton mode is
         # served by ONE row gather from ONE table
-        blocks_np = blocks
-        n_blocks = blocks_np.shape[0]
-        n_words = (self.seq_len + 15) // 16
-        n_wrows = -(-n_words // 8) + 1  # +1: compare may read row+1
-        codes16 = np.zeros((n_wrows * 8 * 16,), dtype=np.uint32)
-        codes16[: self.seq_len] = np.minimum(idx.ref_codes, 3)
-        w = codes16.reshape(-1, 16)
-        shifts = np.arange(15, -1, -1, dtype=np.uint64) * 2
-        ref_rows = (w.astype(np.uint64) << shifts).sum(
-            axis=1, dtype=np.uint64).astype(np.uint32).reshape(n_wrows, 8)
-        sad = samples_np
-        n_srows = -(-sad.shape[0] // 8)
-        sad_rows = np.zeros((n_srows * 8,), dtype=np.int32)
-        sad_rows[: sad.shape[0]] = sad
-        sad_rows = sad_rows.view(np.uint32).reshape(n_srows, 8)
-        self.ref_off = n_blocks
-        self.sad_off = n_blocks + n_wrows
-        merged = np.concatenate([blocks_np, ref_rows, sad_rows])
-        if index_shards > 1 and merged.shape[0] % index_shards:
-            # pad to a shard-divisible row count (pad rows are never
-            # gathered; offsets precede the padding)
-            merged = np.concatenate(
-                [merged, np.zeros(((-merged.shape[0]) % index_shards, 8),
-                                  np.uint32)])
+        merged, self.ref_off, self.sad_off = build_merged_table(
+            idx, blocks, samples_np, index_shards)
         self.table = jax.device_put(merged, tab_device)
         # every kernel indexes only rows < its own region's bound, so
         # the merged table serves as the plain block table too
