@@ -361,6 +361,17 @@ def measure_both(cname: str, spec: dict, ds: dict):
     warm = DartAligner(idx, cfg, engine)
     with contextlib.redirect_stdout(sys.stderr):
         warm.run()
+    # the engine holds its own (device) tables and per-pass alignment
+    # touches only ref_ascii_padded + the chromosome maps; drop the
+    # engine-build-only host arrays (~17 GB at GRCh38 scale) so the
+    # interleaved reference passes fault their index against less
+    # memory-balloon pressure on this host
+    import gc
+
+    for f in ("bwt", "occ", "sa_samples", "sad_samples", "ref_codes"):
+        if hasattr(idx, f):
+            setattr(idx, f, None)
+    gc.collect()
     setup_s = time.time() - t_setup
 
     ref_out = os.path.join(ds["dir"], "ref_timed." + ("bam" if spec["bam"]
