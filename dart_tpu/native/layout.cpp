@@ -119,6 +119,19 @@ void dart_pack_codes(const uint8_t* codes, int64_t n, uint32_t* out) {
 // (l_pac=3.1e9) that is ~12 GB of transient allocations avoided,
 // which dominates load wall time whenever the host is in a degraded
 // anon-fault window. Mirrors loader.load_index's ref_codes/ref_ascii.
+// Codes-only variant: used when the ascii buffer comes from the
+// disk-backed .refpad cache and only ref_codes must be derived.
+void dart_codes_from_pac(const uint8_t* pac, int64_t l_pac,
+                         uint8_t* codes) {
+  const int64_t n2 = 2 * l_pac;
+  for (int64_t i = 0; i < l_pac; ++i) {
+    const uint8_t c =
+        (uint8_t)((pac[i >> 2] >> (2 * (3 - (i & 3)))) & 3);
+    codes[i] = c;
+    codes[n2 - 1 - i] = (uint8_t)(3 - c);
+  }
+}
+
 void dart_ref_from_pac(const uint8_t* pac, int64_t l_pac,
                        uint8_t* codes, uint8_t* ascii) {
   static const uint8_t ACGT[4] = {'A', 'C', 'G', 'T'};

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..index import layout_cache
 from ..index.loader import Index
 
 BLOCK = 64  # bases per occ-checkpoint row
@@ -170,18 +171,12 @@ class FMIndexJax:
             self._loc_sh = {}
             self._min_bucket = 1024
         self._index_shards = index_shards
-        blocks = build_device_layout(idx)
         self.L2 = jax.device_put(idx.L2.astype(np.int32), device)
-        if idx.sad_samples is not None:
-            # dense samples (builder .sad): shorter LF-walks on device
-            samples_np = idx.sad_samples.astype(np.int32)
-            self.sa_intv = int(idx.sad_intv)
-        else:
-            samples_np = idx.sa_samples.astype(np.int32)
-            self.sa_intv = int(idx.sa_intv)
-        # the samples ride ONLY as sad rows of the merged table below
-        # (locate reads them through the same gather path); a separate
-        # device copy would double SA-sample HBM — ~1 GB at 2^31 text
+        # dense samples (builder .sad, sad_intv > 0): shorter LF-walks
+        # on device. The samples ride ONLY as sad rows of the merged
+        # table below (locate reads them through the same gather path);
+        # a separate device copy would double SA-sample HBM
+        self.sa_intv = int(idx.sad_intv) if idx.sad_intv else int(idx.sa_intv)
         self.primary = int(idx.primary)
         self.seq_len = int(idx.seq_len)
         self.max_dup_num = int(max_dup_num)
@@ -191,9 +186,29 @@ class FMIndexJax:
         # fast-extension path: append to the block table (as extra
         # 8-word rows) the 2-bit packed genome (16 bases/word,
         # top-first) and the SA samples, so every automaton mode is
-        # served by ONE row gather from ONE table
-        merged, self.ref_off, self.sad_off = build_merged_table(
-            idx, blocks, samples_np, index_shards)
+        # served by ONE row gather from ONE table. Big indexes memmap
+        # the merged table from the disk-backed layout cache —
+        # file-backed faults dodge this host's anon-fault collapse
+        merged = None
+        cache_meta = {"seq_len": self.seq_len, "sa_intv": self.sa_intv}
+        use_cache = (index_shards == 1 and getattr(idx, "prefix", None)
+                     and layout_cache.eligible(self.seq_len))
+        if use_cache:
+            merged, h = layout_cache.load_array(idx.prefix, "ntab",
+                                                cache_meta)
+            if merged is not None:
+                self.ref_off, self.sad_off = int(h["ref_off"]), int(h["sad_off"])
+        if merged is None:
+            blocks = build_device_layout(idx)
+            samples_np = (idx.sad_samples if idx.sad_intv
+                          else idx.sa_samples).astype(np.int32)
+            merged, self.ref_off, self.sad_off = build_merged_table(
+                idx, blocks, samples_np, index_shards)
+            if use_cache:
+                layout_cache.save_array(
+                    idx.prefix, "ntab", merged,
+                    dict(cache_meta, ref_off=self.ref_off,
+                         sad_off=self.sad_off))
         self.table = jax.device_put(merged, tab_device)
         # every kernel indexes only rows < its own region's bound, so
         # the merged table serves as the plain block table too

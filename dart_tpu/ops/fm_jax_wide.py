@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..index import layout_cache
 from ..index.loader import Index
 from .fm_jax import _clz32, _pc_even, _sel4, _sel8
 
@@ -783,6 +784,46 @@ def _pack_ref_rows(idx: Index, n_rrows: int) -> np.ndarray:
     return flat.reshape(n_rrows, 16)
 
 
+def build_merged_table_wide(idx: Index, n_shards: int = 1):
+    """Full wide merged gather table: block rows (occ lo/hi + 8 BWT
+    words per 128 bases), packed genome rows (16 words = 256 bases per
+    row), and SA sample pair rows (8 per row: [lo x8 | hi x8]).
+    Returns (merged, ref_off, sad_off). jax-free so the layout cache
+    can be warmed offline (tools/warm_layout_cache.py)."""
+    seq_len = int(idx.seq_len)
+    blocks = build_device_layout_wide(idx)
+
+    def pad_rows(a):
+        # pad to a shard-divisible row count (pad rows are never
+        # gathered: row indexes derive from k < seq_len)
+        r = (-a.shape[0]) % n_shards
+        if r == 0:
+            return a
+        return np.concatenate([a, np.zeros((r,) + a.shape[1:], a.dtype)])
+
+    if n_shards > 1:
+        blocks = pad_rows(blocks)
+    samples = (idx.sad_samples if idx.sad_intv
+               else idx.sa_samples).astype(np.int64)
+    slo, shi = _split64(samples)
+    n_blocks = blocks.shape[0]
+    n_words = (seq_len + 15) // 16
+    n_rrows = -(-n_words // 16) + 1  # +1: compare may read row+1
+    ref_rows = _pack_ref_rows(idx, n_rrows)
+    n_srows = -(-slo.shape[0] // 8)
+    sad_rows = np.zeros((n_srows, 16), dtype=np.uint32)
+    srl = np.zeros(n_srows * 8, dtype=np.uint32)
+    srh = np.zeros(n_srows * 8, dtype=np.uint32)
+    srl[: slo.shape[0]] = slo
+    srh[: shi.shape[0]] = shi
+    sad_rows[:, :8] = srl.reshape(n_srows, 8)
+    sad_rows[:, 8:] = srh.reshape(n_srows, 8)
+    merged = np.concatenate([blocks, ref_rows, sad_rows])
+    if n_shards > 1:
+        merged = pad_rows(merged)
+    return merged, n_blocks, n_blocks + n_rrows
+
+
 # ---------------- engine ----------------
 
 
@@ -825,32 +866,15 @@ class FMIndexJaxWide:
                     in_shardings=(tab_sharding, rep, rep, d1, d1),
                     out_shardings=d2)
                 self._min_bucket = max(1024, 128 * index_mesh.devices.size)
-        blocks = build_device_layout_wide(idx)
-        if n_shards > 1:
-            # pad to a shard-divisible row count (pad rows are never
-            # gathered: every row index derives from k < seq_len)
-            def pad_rows(a):
-                r = (-a.shape[0]) % n_shards
-                if r == 0:
-                    return a
-                return np.concatenate(
-                    [a, np.zeros((r,) + a.shape[1:], a.dtype)])
-
-            blocks = pad_rows(blocks)
         l2lo, l2hi = _split64(idx.L2)
         self.L2lo = jax.device_put(l2lo, vec_sharding)
         self.L2hi = jax.device_put(l2hi, vec_sharding)
-        if idx.sad_samples is not None:
-            samples = idx.sad_samples.astype(np.int64)
-            self.sa_intv = int(idx.sad_intv)
-        else:
-            samples = idx.sa_samples.astype(np.int64)
-            self.sa_intv = int(idx.sa_intv)
-        slo, shi = _split64(samples)
-        # the samples ride ONLY as sad rows of the merged table below
+        # dense samples (builder .sad, sad_intv > 0): shorter LF-walks.
+        # The samples ride ONLY as sad rows of the merged table below
         # (locate reads them through the same gather path); separate
         # device copies would double SA-sample HBM — ~12 GB at GRCh38
         # scale, more than the whole rest of the index
+        self.sa_intv = int(idx.sad_intv) if idx.sad_intv else int(idx.sa_intv)
         self.primary = int(idx.primary)
         self.seq_len = int(idx.seq_len)
         self.max_dup_num = int(max_dup_num)
@@ -860,24 +884,26 @@ class FMIndexJaxWide:
         # the narrow engine's merged-table design): packed genome words
         # (16 words = 256 bases per row) and SA sample pairs (8 per
         # row: [lo x8 | hi x8]) so every automaton mode is served by
-        # ONE row gather from ONE table
-        n_blocks = blocks.shape[0]
-        n_words = (self.seq_len + 15) // 16
-        n_rrows = -(-n_words // 16) + 1  # +1: compare may read row+1
-        ref_rows = _pack_ref_rows(idx, n_rrows)
-        n_srows = -(-slo.shape[0] // 8)  # slo may carry shard padding
-        sad_rows = np.zeros((n_srows, 16), dtype=np.uint32)
-        srl = np.zeros(n_srows * 8, dtype=np.uint32)
-        srh = np.zeros(n_srows * 8, dtype=np.uint32)
-        srl[: slo.shape[0]] = slo
-        srh[: shi.shape[0]] = shi
-        sad_rows[:, :8] = srl.reshape(n_srows, 8)
-        sad_rows[:, 8:] = srh.reshape(n_srows, 8)
-        self.ref_off = n_blocks
-        self.sad_off = n_blocks + n_rrows
-        merged = np.concatenate([blocks, ref_rows, sad_rows])
-        if n_shards > 1:
-            merged = pad_rows(merged)
+        # ONE row gather from ONE table. Big unsharded indexes memmap
+        # the merged table from the disk-backed layout cache —
+        # file-backed faults dodge this host's anon-fault collapse
+        merged = None
+        cache_meta = {"seq_len": self.seq_len, "sa_intv": self.sa_intv}
+        use_cache = (n_shards == 1 and getattr(idx, "prefix", None)
+                     and layout_cache.eligible(self.seq_len))
+        if use_cache:
+            merged, h = layout_cache.load_array(idx.prefix, "wtab",
+                                                cache_meta)
+            if merged is not None:
+                self.ref_off, self.sad_off = int(h["ref_off"]), int(h["sad_off"])
+        if merged is None:
+            merged, self.ref_off, self.sad_off = build_merged_table_wide(
+                idx, n_shards)
+            if use_cache:
+                layout_cache.save_array(
+                    idx.prefix, "wtab", merged,
+                    dict(cache_meta, ref_off=self.ref_off,
+                         sad_off=self.sad_off))
         self.blocks = jax.device_put(merged, tab_sharding)
         self._seed_jit = {}
         self._locate_jit = {}
