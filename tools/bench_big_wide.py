@@ -106,6 +106,13 @@ def main():
     with contextlib.redirect_stdout(sys.stderr):
         DartAligner(idx, cfg, engine).run()
     log(f"warm pass {time.time() - t0:.1f}s")
+    # engine holds its own tables; per-pass alignment touches only the
+    # padded reference + chromosome maps (see bench.py)
+    import gc
+
+    for f in ("bwt", "occ", "sa_samples", "sad_samples", "ref_codes"):
+        setattr(idx, f, None)
+    gc.collect()
 
     ref_cmd = None
     ref_load = 0.0
