@@ -53,7 +53,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 sys.path.insert(0, os.path.join(HERE, "tools"))
 
-WORK = os.environ.get("DART_TPU_BENCH_DIR", "/tmp/dart_tpu_bench")
+# bench datasets live under /root (not /tmp): the GRCh38 flagship
+# dataset takes hours to build and /tmp does not survive VM restarts
+WORK = os.environ.get("DART_TPU_BENCH_DIR", "/root/dart_tpu_bench")
 N_READS = int(os.environ.get("DART_TPU_BENCH_READS", "100000"))
 READ_LEN = 100
 SEED = 20260816

@@ -68,7 +68,7 @@ def main():
     ap.add_argument("--workdir",
                     default=os.path.join(
                         os.environ.get("DART_TPU_BENCH_DIR",
-                                       "/tmp/dart_tpu_bench"),
+                                       "/root/dart_tpu_bench"),
                         "grch38_pe_bam"))
     ap.add_argument("--scale", type=float, default=1.0,
                     help="chromosome length scale (1.0 = hg38 sizes)")

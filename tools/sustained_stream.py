@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=10)
     ap.add_argument("--checkpoint", action="store_true")
     ap.add_argument("--dataset", default=os.path.join(
-        os.environ.get("DART_TPU_BENCH_DIR", "/tmp/dart_tpu_bench"),
+        os.environ.get("DART_TPU_BENCH_DIR", "/root/dart_tpu_bench"),
         "8mbp_se"))
     args = ap.parse_args()
 
