@@ -1,0 +1,64 @@
+"""One-shot flagship (GRCh38-class) dataset preparation for bench.py.
+
+Chains everything the grch38_pe_bam bench config needs, resumable at
+each stage (every stage is a no-op when its artifact exists):
+  1. tools/build_grch38.py  — 3.09 Gbp genome + 50k pairs + wide index
+  2. tools/warm_layout_cache.py — derive the disk-backed layouts once
+  3. bench.ensure_parity_oracle — the reference -t 1 SAM oracle
+
+Run nice'd in the background (the SA-IS over 6.2e9 positions is the
+long pole; this host has one core): DART_TPU_BUILD_LOG=1 nohup nice
+-n19 python tools/prep_flagship.py &
+"""
+
+import os
+import runpy
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.join(HERE, "tools"))
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] prep_flagship: {msg}", flush=True)
+
+
+def main() -> int:
+    os.environ.setdefault("DART_TPU_BUILD_LOG", "1")
+    import bench
+
+    spec = bench.CONFIGS["grch38_pe_bam"]
+    d = os.path.join(bench.WORK, "grch38_pe_bam")
+
+    t0 = time.time()
+    if not os.path.exists(os.path.join(d, "idx.bwt")):
+        log("stage 1: build_grch38 (genome + reads + index)...")
+        subprocess.run([sys.executable,
+                        os.path.join(HERE, "tools", "build_grch38.py")],
+                       check=True)
+    log(f"stage 1 done ({time.time() - t0:.0f}s)")
+
+    t1 = time.time()
+    log("stage 2: warm the derived-layout cache...")
+    sys.argv = ["warm_layout_cache.py", os.path.join(d, "idx")]
+    runpy.run_path(os.path.join(HERE, "tools", "warm_layout_cache.py"),
+                   run_name="__main__")
+    log(f"stage 2 done ({time.time() - t1:.0f}s)")
+
+    t2 = time.time()
+    log("stage 3: reference parity oracle...")
+    ds = bench.ensure_dataset("grch38_pe_bam", spec)
+    if ds is None:
+        log("dataset incomplete after build?!")
+        return 1
+    bench.ensure_parity_oracle("grch38_pe_bam", spec, ds)
+    log(f"stage 3 done ({time.time() - t2:.0f}s); flagship ready "
+        f"({time.time() - t0:.0f}s total)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
