@@ -22,8 +22,9 @@ reads with the identical BWA-format index. This host has one core, so
 the reference runs at its -t 1 == -t nproc speed; a dedicated -t 1
 run's SAM (deterministic order) is the PARITY ORACLE: our output is
 compared record-for-record IN ORDER (reference stale-FLAG divergences
-normalized — single-end unmapped reads and half-mapped pairs read
-uninitialized flag state; see tests/test_parity.py and README).
+normalized to the reference's intended values — single-end unmapped
+reads and half-mapped pairs read uninitialized flag state; see
+_norm_flags_pairwise, tests/test_bench_parity.py and README).
 
 SAME-WINDOW protocol: reference and dart_tpu passes are interleaved
 within one sampling loop (ref, ours, ref, ours, ...) so both rates
@@ -226,6 +227,19 @@ def ensure_reference() -> bool:
         return False
 
 
+def _builder_fingerprint() -> str:
+    """Version key for cached index-build timings: a hash of the
+    builder sources, so any builder change invalidates the cache."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in ("dart_tpu/native/sais.cpp", "dart_tpu/index/builder.py",
+                "dart_tpu/index/packer.py"):
+        with open(os.path.join(HERE, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def time_index_builds(cname: str, spec: dict, ds: dict):
     """Time BOTH builders on the identical genome, interleaved
     (ours, ref, ours, ref) and best-of-2 per side — the same
@@ -234,7 +248,11 @@ def time_index_builds(cname: str, spec: dict, ds: dict):
     323 s then 143 s for the identical 50 Mbp build). Cached in the
     dataset meta as a pair; returns (ours_s, ref_s)."""
     meta = json.load(open(ds["meta_path"])) if os.path.exists(ds["meta_path"]) else {}
-    if "build_pair_s" in meta:
+    # cache keyed on the builder sources: a stale pair must not keep
+    # reporting after the builder improves (round-3 disease — the
+    # README/driver contradiction on builder times)
+    ver = _builder_fingerprint()
+    if "build_pair_s" in meta and meta.get("build_pair_ver") == ver:
         return tuple(meta["build_pair_s"])
     if not spec.get("time_ref_build") or not os.path.exists(REF_IDX_BIN):
         return ds["index_build_s"], None
@@ -263,6 +281,11 @@ def time_index_builds(cname: str, spec: dict, ds: dict):
     ours = round(min(ours_t), 2)
     ref = round(min(ref_t), 2)
     meta["build_pair_s"] = [ours, ref]
+    meta["build_pair_ver"] = ver
+    # qualify the measurement window: build times from a degraded
+    # anon-fault window (post-VM-restart ballooning) are flagged so a
+    # later report can re-measure instead of trusting them
+    meta["build_pair_fault_mbps"] = host_fault_mbps()
     with open(ds["meta_path"], "w") as f:
         json.dump(meta, f)
     log(f"bench[{cname}]: index build: ours {ours:.0f}s, "
@@ -292,8 +315,13 @@ def ensure_parity_oracle(cname: str, spec: dict, ds: dict) -> str | None:
     if not ensure_reference():
         return None
     log(f"bench[{cname}]: producing reference parity oracle...")
+    # untimed + cached, so give it a day: a GRCh38-scale -t 1 pass in
+    # a degraded host window can legitimately exceed 2 h, and a
+    # timeout here silently discards hours of prep
     subprocess.run(_ref_cmd(spec, ds, ref_sam, bam=False), check=True,
-                   capture_output=True, timeout=7200)
+                   capture_output=True,
+                   timeout=int(os.environ.get("DART_TPU_ORACLE_TIMEOUT",
+                                              "86400")))
     return ref_sam
 
 
@@ -439,9 +467,16 @@ def _norm_flags_pairwise(recs: list[tuple[str, int, str]]) -> list[int]:
     from uninitialized/stale state, Mapping.cpp:74-186):
     - single-end unmapped reads: FLAG is garbage; ours is always 4.
     - half-mapped pairs (exactly one end unmapped): the reference
-      emits stale proper-pair/mate-reverse bits (e.g. 83/99/147); the
-      SAM-correct flags are mapped end 1|8|first/last|(0x10 kept),
-      unmapped end 1|4|first/last|(0x20 iff mate reverse).
+      sometimes emits stale proper-pair/mate bits (e.g. 83/99/147).
+      The normalization target is the reference's INTENDED flags
+      (Mapping.cpp:101-186, where mate 2 is stored RC'd — proven by
+      the toy goldens, where the reference emits them cleanly:
+      tests/golden/c5_pe.sam's 105/149 pairs), which is exactly what
+      dart_tpu's faithful port emits (pipeline/report.py:41-95):
+        mapped end:  1|8|first-last| (0x10 if itself reverse else 0x20)
+        unmapped end: 1|4|first-last| (0x20 if mate reverse else 0x10)
+      Only the mapped end's own strand bit (consistent with the SEQ
+      it printed) is trusted from the stale value.
     recs: (qname, flag, rname) in file order."""
     out = [f for _, f, _ in recs]
     i = 0
@@ -461,9 +496,9 @@ def _norm_flags_pairwise(recs: list[tuple[str, int, str]]) -> list[int]:
                 (mi, ui) = (i + 1, i) if un1 else (i, i + 1)
                 mf = out[mi]
                 uf = out[ui]
-                mate_rev = 0x20 if mf & 0x10 else 0
-                out[mi] = 1 | 8 | (mf & 0x10) | (mf & 0xC0)
-                out[ui] = 1 | 4 | mate_rev | (uf & 0xC0)
+                rev = bool(mf & 0x10)
+                out[mi] = 1 | 8 | (mf & 0xC0) | (0x10 if rev else 0x20)
+                out[ui] = 1 | 4 | (uf & 0xC0) | (0x20 if rev else 0x10)
             i += 2
             continue
         i += 1
@@ -489,8 +524,8 @@ def _load_ref_records(ref_sam: str):
 def parity_check(cname: str, spec: dict, ds: dict, ref_sam: str | None) -> str:
     """Record-for-record IN-ORDER comparison against the reference's
     -t 1 SAM (its order is deterministic = input order, like ours),
-    with the reference's stale-FLAG divergences normalized to the
-    SAM-correct values (which is what we emit)."""
+    with the reference's stale-FLAG divergences normalized to its
+    intended values (which is what we emit)."""
     if ref_sam is None or not os.path.exists(ref_sam):
         return "n/a"
     want_rows = _load_ref_records(ref_sam)

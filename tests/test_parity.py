@@ -1,5 +1,10 @@
 """End-to-end output parity: our aligner vs committed golden outputs
-produced by the reference dart binary (bit-for-bit, -t 1 determinism)."""
+produced by the reference dart binary (bit-for-bit, -t 1 determinism).
+
+Note the goldens include 5 half-mapped pairs (c5/c6/c7, FLAGs
+105/149) matched bit-for-bit with NO normalization — the reference's
+intended half-mapped flags, which pipeline/report.py ports exactly
+and bench.py's normalizer targets (tests/test_bench_parity.py)."""
 
 import io
 

@@ -74,6 +74,16 @@ def main():
                     help="chromosome length scale (1.0 = hg38 sizes)")
     ap.add_argument("--pairs", type=int, default=50000)
     ap.add_argument("--rlen", type=int, default=100)
+    ap.add_argument("--builder", choices=("ours", "ref"), default="ours",
+                    help="index builder: our SA-IS, or the reference "
+                    "bwt_index binary (byte-identical output minus the "
+                    "optional .sad, which at wide scale duplicates .sa "
+                    "sampling anyway — builder.py:264)")
+    ap.add_argument("--force-index", action="store_true",
+                    help="rebuild the index even if idx.bwt exists, "
+                    "under the timing_idx prefix so the bench's idx.* "
+                    "is never clobbered (to time the other builder on "
+                    "the same genome)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -137,17 +147,34 @@ def main():
         log(f"{made} pairs written")
         del chrom_codes
 
-    if not os.path.exists(prefix + ".bwt"):
-        os.environ.setdefault("DART_TPU_BUILD_LOG", "1")
-        from dart_tpu.index import build_index
-
-        log("building index (SA-IS over fwd+RC, ~6.2e9 positions)...")
+    if not os.path.exists(prefix + ".bwt") or args.force_index:
+        if args.force_index and os.path.exists(prefix + ".bwt"):
+            prefix = os.path.join(args.workdir, "timing_idx")
+        meta_p = os.path.join(args.workdir, "meta.json")
+        meta = json.load(open(meta_p)) if os.path.exists(meta_p) else {}
         t0 = time.time()
-        build_index(fa, prefix)
-        dt = time.time() - t0
-        log(f"index built in {dt:.0f} s")
-        with open(os.path.join(args.workdir, "meta.json"), "w") as f:
-            json.dump({"index_build_s": round(dt, 2)}, f)
+        if args.builder == "ref":
+            import subprocess
+            ref_bin = "/tmp/dart_ref/bin/bwt_index"
+            if not os.path.exists(ref_bin):
+                sys.exit("reference bwt_index missing; run "
+                         "tools/build_reference.sh first")
+            log("building index with reference bwt_index (BWT-SW "
+                "incremental over fwd+RC, ~6.2e9 positions)...")
+            subprocess.run([ref_bin, fa, prefix], check=True)
+            dt = time.time() - t0
+            meta["ref_index_build_s"] = round(dt, 2)
+        else:
+            os.environ.setdefault("DART_TPU_BUILD_LOG", "1")
+            from dart_tpu.index import build_index
+
+            log("building index (SA-IS over fwd+RC, ~6.2e9 positions)...")
+            build_index(fa, prefix)
+            dt = time.time() - t0
+            meta["index_build_s"] = round(dt, 2)
+        log(f"index built in {dt:.0f} s ({args.builder})")
+        with open(meta_p, "w") as f:
+            json.dump(meta, f)
     log("done")
 
 

@@ -3,16 +3,26 @@
 Chains everything the grch38_pe_bam bench config needs, resumable at
 each stage (every stage is a no-op when its artifact exists):
   1. tools/build_grch38.py  — 3.09 Gbp genome + 50k pairs + wide index
-  2. tools/warm_layout_cache.py — derive the disk-backed layouts once
-  3. bench.ensure_parity_oracle — the reference -t 1 SAM oracle
+  2. bench.ensure_parity_oracle — the reference -t 1 SAM oracle
+  3. tools/warm_layout_cache.py — derive the disk-backed layouts once
 
-Run nice'd in the background (the SA-IS over 6.2e9 positions is the
-long pole; this host has one core): DART_TPU_BUILD_LOG=1 nohup nice
--n19 python tools/prep_flagship.py &
+Stage 1 builds the index with the REFERENCE bwt_index binary by
+default (--builder ref): our builder's output is byte-identical
+(tests/test_index.py) and at wide scale the .sad dense samples
+degenerate to the same intv-32 sampling as .sa (builder.py:264), so
+the aligner loses nothing — while the reference's BWT-SW incremental
+builder is measured faster at every size and, on this one-core
+tenant-shared host, the SA-IS over 6.2e9 positions (~8 h) would not
+fit a round alongside the bench itself. Run our builder separately
+(tools/build_grch38.py --builder ours --force-index) to record the
+SA-IS flagship build time.
+
+Run nice'd in the background (this host has one core):
+  DART_TPU_BUILD_LOG=1 nohup nice -n19 python tools/prep_flagship.py &
 """
 
+import argparse
 import os
-import runpy
 import subprocess
 import sys
 import time
@@ -27,6 +37,10 @@ def log(msg):
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--builder", choices=("ours", "ref"), default="ref")
+    args = ap.parse_args()
+
     os.environ.setdefault("DART_TPU_BUILD_LOG", "1")
     import bench
 
@@ -35,26 +49,31 @@ def main() -> int:
 
     t0 = time.time()
     if not os.path.exists(os.path.join(d, "idx.bwt")):
-        log("stage 1: build_grch38 (genome + reads + index)...")
+        log(f"stage 1: build_grch38 (genome + reads + index, "
+            f"builder={args.builder})...")
         subprocess.run([sys.executable,
-                        os.path.join(HERE, "tools", "build_grch38.py")],
+                        os.path.join(HERE, "tools", "build_grch38.py"),
+                        "--builder", args.builder],
                        check=True)
     log(f"stage 1 done ({time.time() - t0:.0f}s)")
 
     t1 = time.time()
-    log("stage 2: warm the derived-layout cache...")
-    sys.argv = ["warm_layout_cache.py", os.path.join(d, "idx")]
-    runpy.run_path(os.path.join(HERE, "tools", "warm_layout_cache.py"),
-                   run_name="__main__")
-    log(f"stage 2 done ({time.time() - t1:.0f}s)")
-
-    t2 = time.time()
-    log("stage 3: reference parity oracle...")
+    log("stage 2: reference parity oracle...")
     ds = bench.ensure_dataset("grch38_pe_bam", spec)
     if ds is None:
         log("dataset incomplete after build?!")
         return 1
     bench.ensure_parity_oracle("grch38_pe_bam", spec, ds)
+    log(f"stage 2 done ({time.time() - t1:.0f}s)")
+
+    t2 = time.time()
+    log("stage 3: warm the derived-layout cache...")
+    # import and call directly — runpy.run_path(run_name="__main__")
+    # would execute warm_layout_cache's sys.exit() guard and the
+    # SystemExit(0) would silently end prep before this point
+    import warm_layout_cache
+
+    warm_layout_cache.main(os.path.join(d, "idx"))
     log(f"stage 3 done ({time.time() - t2:.0f}s); flagship ready "
         f"({time.time() - t0:.0f}s total)")
     return 0
