@@ -411,6 +411,7 @@ def measure_both(cname: str, spec: dict, ds: dict):
 
     ours: list[float] = []
     ref: list[float] = []
+    best_stats: dict = {}
     max_passes = spec["passes"] + 4
     # soft wall budget: in a degraded host window one GRCh38-scale
     # reference pass can cost 25+ min of page faulting; once both
@@ -437,6 +438,12 @@ def measure_both(cname: str, spec: dict, ds: dict):
             with contextlib.redirect_stdout(sys.stderr):
                 aligner.run()
             ours.append(time.time() - t0)
+            if ours[-1] <= min(ours):
+                # the recorded rate is the best pass; its stage split
+                # travels with it so regressions are localizable
+                # (device wait vs native finalize vs output encode)
+                best_stats = {k: round(v, 3) if isinstance(v, float) else v
+                              for k, v in aligner.stats.items()}
             log(f"bench[{cname}]: dart_tpu pass: {ours[-1]:.2f}s")
         if (len(ours) >= 3 and _converged(ours)
                 and (ref_cmd is None or (len(ref) >= 2 and _converged(ref)))
@@ -452,10 +459,20 @@ def measure_both(cname: str, spec: dict, ds: dict):
     log(f"bench[{cname}]: dart_tpu: {best:.2f}s ({rate:.0f} reads/s; "
         f"{len(ours)} passes, spread {spread:.2f}x; "
         f"setup+warmup {setup_s:.1f}s)")
+    import statistics
+
     return rate, ref_rate, {
         "wall_s": round(best, 3), "setup_s": round(setup_s, 1),
         "passes": len(ours), "spread": round(spread, 2),
+        # every pass + the median: best-of-N under multi-x tenant
+        # noise is soft; the median and full list make the recorded
+        # rate auditable
+        "ours_passes_s": [round(t, 2) for t in ours],
+        "median_reads_per_sec": round(spec["n_reads"]
+                                      / statistics.median(ours), 1),
+        "stage_split": best_stats,
         "ref_wall_s": round(min(ref), 3) if ref else None,
+        "ref_passes_s": [round(t, 2) for t in ref],
         "ref_passes": len(ref), "same_window": bool(ref),
     }
 

@@ -388,7 +388,8 @@ class DartAligner:
                 from .io.bam import BamWriter
 
                 writer = BamWriter(cfg.output_file, append=True,
-                                   threads=cfg.threads)
+                                   threads=cfg.threads,
+                                   level=cfg.bam_level)
                 writer.write_header(self.header_lines())  # ref map only
             else:
                 out_stream = open(cfg.output_file, "ab")
@@ -398,7 +399,8 @@ class DartAligner:
                 from .io.bam import BamWriter
 
                 writer = BamWriter(cfg.output_file,
-                                   threads=cfg.threads)
+                                   threads=cfg.threads,
+                                   level=cfg.bam_level)
                 own = True
             else:
                 # binary: the native pipeline emits ready SAM bytes;

@@ -27,6 +27,7 @@ Options: -t INT        number of threads [4]
          -max_dup INT  maximal number of repetitive fragments (100-10000) [100]
          -o            alignment filename in SAM format
          -bo           alignment filename in BAM format
+         --bam-level INT  BGZF compression level 0-9 [1]
          -j            splice junction output filename [junctions.tab]
          -m            output multiple alignments [false]
          -all_sj       detect all splice junctions regardless of mapq [false]
@@ -82,6 +83,9 @@ def parse_args(argv: list[str]) -> DartConfig | None:
             i += 1
             cfg.output_format = 1
             cfg.output_file = argv[i]
+        elif a in ("--bam-level", "-bam_level") and i + 1 < n:
+            i += 1
+            cfg.bam_level = min(max(int(argv[i]), 0), 9)
         elif a == "-mis" and i + 1 < n:
             i += 1
             cfg.max_mismatch = int(argv[i])

@@ -13,6 +13,9 @@ class DartConfig:
     read_files_2: list[str] = field(default_factory=list)
     output_file: str = "output.sam"
     output_format: int = 0  # 0: sam, 1: bam
+    bam_level: int = 1      # BGZF zlib level; 1 favors the one-core
+    # host (deflate ~halves PE+BAM wall at htslib's default 6); the
+    # BAM record content is level-independent (--bam-level)
     sj_file: str = "junctions.tab"
     threads: int = 4
     max_gaps: int = 5

@@ -20,12 +20,17 @@ BGZF_EOF = bytes.fromhex(
     "1f8b08040000000000ff0600424302001b0003000000000000000000")
 
 
-def _deflate_block(raw: bytes) -> bytes:
+def _deflate_block(raw: bytes, level: int = 1) -> bytes:
     """One complete BGZF member for `raw` (<= MAX_BLOCK bytes). Pure
     function of its input, so blocks compress in parallel: zlib
     releases the GIL, making a plain thread pool an effective -t
-    analogue of htslib's bgzf_mt writer threads."""
-    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    analogue of htslib's bgzf_mt writer threads.
+
+    level defaults to 1: deflate is ~half the PE+BAM wall on a
+    one-core host at htslib's default 6, and the BAM contract here is
+    record identity, not byte identity (compression framing already
+    differs from htslib). --bam-level restores denser output."""
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
     comp = co.compress(raw) + co.flush()
     bsize = len(comp) + 25 + 1
     header = struct.pack(
@@ -43,9 +48,11 @@ def _deflate_block(raw: bytes) -> bytes:
 class BgzfWriter:
     MAX_BLOCK = 65280
 
-    def __init__(self, path: str, append: bool = False, threads: int = 1):
+    def __init__(self, path: str, append: bool = False, threads: int = 1,
+                 level: int = 1):
         self.fh = open(path, "ab" if append else "wb")
         self.buf = bytearray()
+        self.level = level
         self._pool = None
         if threads > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -62,11 +69,14 @@ class BgzfWriter:
         del self.buf[: n_full * self.MAX_BLOCK]
         if self._pool is not None and len(blocks) > 1:
             # parallel compress, ordered write
-            for comp in self._pool.map(_deflate_block, blocks):
+            import functools
+
+            enc = functools.partial(_deflate_block, level=self.level)
+            for comp in self._pool.map(enc, blocks):
                 self.fh.write(comp)
         else:
             for raw in blocks:
-                self.fh.write(_deflate_block(raw))
+                self.fh.write(_deflate_block(raw, self.level))
 
     def flush_boundary(self) -> int:
         """Flush any buffered bytes as a (possibly short) BGZF block
@@ -75,14 +85,14 @@ class BgzfWriter:
         file at a block boundary plus appended blocks is a valid
         stream)."""
         if self.buf:
-            self.fh.write(_deflate_block(bytes(self.buf)))
+            self.fh.write(_deflate_block(bytes(self.buf), self.level))
             self.buf.clear()
         self.fh.flush()
         return self.fh.tell()
 
     def close(self) -> None:
         if self.buf:
-            self.fh.write(_deflate_block(bytes(self.buf)))
+            self.fh.write(_deflate_block(bytes(self.buf), self.level))
             self.buf.clear()
         self.fh.write(BGZF_EOF)
         self.fh.close()
@@ -130,14 +140,16 @@ def _encode_int_tag(tag: bytes, val: int) -> bytes:
 
 
 class BamWriter:
-    def __init__(self, path: str, append: bool = False, threads: int = 1):
+    def __init__(self, path: str, append: bool = False, threads: int = 1,
+                 level: int = 1):
         """append=True reopens an existing stream at a BGZF block
         boundary (checkpoint resume): no header is rewritten, but
         write_header must still be called with the same lines to
         rebuild the reference-id map (it skips the output).
         threads>1 compresses BGZF blocks in parallel (htslib bgzf_mt
         analogue; only pays off on multi-core hosts)."""
-        self.bgzf = BgzfWriter(path, append=append, threads=threads)
+        self.bgzf = BgzfWriter(path, append=append, threads=threads,
+                                level=level)
         self.ref_ids: dict[str, int] = {}
         self._append = append
 

@@ -277,6 +277,21 @@ class FastPairedReader:
         np.cumsum(lens, out=off[1:])
         out = np.empty(int(off[-1]), np.uint8)
 
+        # uniform-length fast path (the normal case: fixed-length
+        # reads/quals): one 2D gather per side into a reshaped view —
+        # no per-byte int64 src/tgt index construction
+        if (n and lensA.min() == lensA.max()
+                and lensB.min() == lensB.max()):
+            la, lb = int(lensA[0]), int(lensB[0])
+            m = out.reshape(n, la + lb)
+            if la:
+                m[:, :la] = bufA[sA.astype(np.int64)[:, None]
+                                 + np.arange(la)]
+            if lb:
+                m[:, la:] = bufB[sB.astype(np.int64)[:, None]
+                                 + np.arange(lb)]
+            return out.tobytes(), off
+
         def place(buf, starts, seg_lens, tgt_starts):
             total = int(seg_lens.sum())
             if not total:
@@ -347,6 +362,19 @@ def _revcomp_second_mates(seq_blob, seq_off, qual_blob, qual_off):
     q = (np.frombuffer(qual_blob, dtype=np.uint8).copy()
          if qual_blob else None)
     n = seq_off.shape[0] - 1
+    odd = np.arange(1, n, 2)
+    lens = (seq_off[odd + 1] - seq_off[odd]).astype(np.int64)
+    if odd.size and lens.min() == lens.max():
+        # uniform-length fast path: one gather/flip/scatter matrix op
+        # instead of a Python loop over mates
+        ln = int(lens[0])
+        idx = seq_off[odd].astype(np.int64)[:, None] + np.arange(ln)
+        arr[idx] = COMP_CODES[arr[idx]][:, ::-1]
+        if q is not None:
+            qidx = (qual_off[odd].astype(np.int64)[:, None]
+                    + np.arange(ln))
+            q[qidx] = q[qidx][:, ::-1]
+        return arr.tobytes(), (q.tobytes() if q is not None else qual_blob)
     for i in range(1, n, 2):
         s, e = int(seq_off[i]), int(seq_off[i + 1])
         arr[s:e] = COMP_CODES[arr[s:e]][::-1]

@@ -355,7 +355,8 @@ def run_distributed(cfg, coordinator: str, num_processes: int,
             # -bo: shards are SAM text; host 0 encodes the merge to BAM
             from ..io.bam import BamWriter
 
-            writer = BamWriter(cfg.output_file, threads=cfg.threads)
+            writer = BamWriter(cfg.output_file, threads=cfg.threads,
+                               level=cfg.bam_level)
             writer.write_header(aligner.header_lines())
             for fh, lo, hi in merged_pieces():
                 fh.seek(lo)

@@ -1,25 +1,31 @@
-"""Same-window wide-engine benchmark at the 1.1 Gbp index.
+"""Same-window wide-engine benchmark on a >2^31 (GRCh38-class) index.
 
-Measures the GRCh38-class (>2^31 text) regime end to end: the wide
-uint32-pair automaton with its K-mer LUT + fast-extension modes
-(ops/fm_jax_wide.py) aligning 100k single-end 100 bp reads against
-the cached 1.1 Gbp index (/tmp/dart_big_wide, built by
-tools/run_big_wide_check.py), with the reference binary timed on the
-IDENTICAL index + reads interleaved in the same tenant window
-(the host/TPU pool are shared and vary several-fold minute to
-minute, so cross-window rates are not comparable).
+Measures the wide regime end to end: the wide uint32-pair automaton
+with its K-mer LUT + fast-extension modes (ops/fm_jax_wide.py)
+aligning single-end 100 bp reads against a giant index, with the
+reference binary timed on the IDENTICAL index + reads interleaved in
+the same tenant window (the host/TPU pool are shared and vary
+several-fold minute to minute, so cross-window rates are not
+comparable).
+
+By default it targets the flagship 3.09 Gbp GRCh38-class dataset
+(tools/prep_flagship.py, mate-1 reads taken single-end) so the
+multi-hour index build is shared with the bench's grch38_pe_bam
+config; --workdir/--prefix/--reads point it anywhere else (e.g. the
+round-2 1.1 Gbp /tmp/dart_big_wide set from run_big_wide_check.py).
 
 Parity: our SAM is compared record-for-record IN ORDER against the
-reference's -t 1 run (its deterministic order), with the reference's
-stale unmapped-FLAG divergence normalized (README).
+reference's -t 1 run (its deterministic order; produced here if
+absent), with the reference's stale unmapped-FLAG divergence
+normalized (README).
 
 Reference equivalents at this scale: int64 index types
 (/root/reference/src/structure.h:29-45) and the full-speed search
 (bwt_search.cpp:139-182), which the reference uses regardless of
 genome size — round 2's wide engine lacked the fast paths and ran
-~17.6k reads/s; the round-3 target is >=3x that.
+~17.6k reads/s; the target is >=3x that.
 
-Usage: python tools/bench_big_wide.py [--passes 4] [--reads reads_100k.fq]
+Usage: python tools/bench_big_wide.py [--passes 4]
 Writes its log to stdout; commit the result to tests/golden/.
 """
 
@@ -33,7 +39,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-WORK = "/tmp/dart_big_wide"
+FLAGSHIP = os.path.join(os.environ.get("DART_TPU_BENCH_DIR",
+                                       "/root/dart_tpu_bench"),
+                        "grch38_pe_bam")
 REF_BIN = "/tmp/dart_ref/bin/dart"
 
 
@@ -68,17 +76,29 @@ def converged(times):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=4)
-    ap.add_argument("--reads", default="reads_100k.fq")
-    ap.add_argument("--n-reads", type=int, default=100000)
+    ap.add_argument("--workdir", default=FLAGSHIP)
+    ap.add_argument("--prefix", default=None,
+                    help="index prefix (default <workdir>/idx)")
+    ap.add_argument("--reads", default="reads_100000_1.fq",
+                    help="FASTQ inside workdir, aligned single-end")
+    ap.add_argument("--n-reads", type=int, default=50000)
     args = ap.parse_args()
 
-    prefix = os.path.join(WORK, "big")
+    WORK = args.workdir
+    prefix = args.prefix or os.path.join(WORK, "idx")
     fq = os.path.join(WORK, args.reads)
-    ref_sam = os.path.join(WORK, "ref100k.sam")
+    ref_sam = os.path.join(WORK, "ref_wide_se.sam")
     for p in (prefix + ".bwt", fq):
         if not os.path.exists(p):
-            log(f"missing {p} — run tools/run_big_wide_check.py first")
+            log(f"missing {p} — run tools/prep_flagship.py first")
             return 1
+    if not os.path.exists(ref_sam) and os.path.exists(REF_BIN):
+        log("producing reference SE parity oracle (-t 1, untimed)...")
+        subprocess.run([REF_BIN, "-i", prefix, "-f", fq, "-t", "1",
+                        "-mis", "5", "-o", ref_sam,
+                        "-j", os.path.join(WORK, "ref_wide_se.tab"),
+                        "-silent"],
+                       check=True, capture_output=True, timeout=86400)
 
     from dart_tpu.aligner import DartAligner, make_engine
     from dart_tpu.config import DartConfig
@@ -94,8 +114,8 @@ def main():
     cfg.max_mismatch = 5
     cfg.silent = True
     cfg.read_files_1 = [fq]
-    cfg.output_file = os.path.join(WORK, "tpu100k.sam")
-    cfg.sj_file = os.path.join(WORK, "tpu100k.tab")
+    cfg.output_file = os.path.join(WORK, "tpu_wide_se.sam")
+    cfg.sj_file = os.path.join(WORK, "tpu_wide_se.tab")
     t0 = time.time()
     engine = make_engine(idx, cfg)
     log(f"engine: {type(engine).__name__} lut_k={getattr(engine, 'lut_k', 0)} "
@@ -165,7 +185,7 @@ def main():
         parity = f"{same}/{max(len(got), len(want))}"
 
     result = {
-        "config": "1.1gbp_se_wide",
+        "config": f"wide_se(seq_len={idx.seq_len:,})",
         "reads_per_sec": round(rate, 1),
         "baseline_reads_per_sec": round(ref_rate, 1) if ref_rate else None,
         "vs_baseline": round(rate / ref_rate, 4) if ref_rate else None,
