@@ -889,24 +889,55 @@ class FMIndexJaxWide:
         # file-backed faults dodge this host's anon-fault collapse
         merged = None
         cache_meta = {"seq_len": self.seq_len, "sa_intv": self.sa_intv}
-        use_cache = (n_shards == 1 and getattr(idx, "prefix", None)
+        # sharded variants differ from the unsharded table only by
+        # zero-row padding (shard-divisible blocks region + total), so
+        # they get their own cache kind ("wtab<N>") and, on a miss, are
+        # repacked from the unsharded "wtab" memmap instead of
+        # re-deriving the whole layout from the raw index
+        kind = "wtab" if n_shards == 1 else f"wtab{n_shards}"
+        use_cache = (getattr(idx, "prefix", None)
                      and layout_cache.eligible(self.seq_len))
         if use_cache:
-            merged, h = layout_cache.load_array(idx.prefix, "wtab",
+            merged, h = layout_cache.load_array(idx.prefix, kind,
                                                 cache_meta)
             if merged is not None:
                 self.ref_off, self.sad_off = int(h["ref_off"]), int(h["sad_off"])
+            elif n_shards > 1:
+                merged = self._repack_sharded_from_cache(idx, n_shards,
+                                                         cache_meta)
         if merged is None:
             merged, self.ref_off, self.sad_off = build_merged_table_wide(
                 idx, n_shards)
             if use_cache:
                 layout_cache.save_array(
-                    idx.prefix, "wtab", merged,
+                    idx.prefix, kind, merged,
                     dict(cache_meta, ref_off=self.ref_off,
                          sad_off=self.sad_off))
         self.blocks = jax.device_put(merged, tab_sharding)
         self._seed_jit = {}
         self._locate_jit = {}
+
+    def _repack_sharded_from_cache(self, idx: Index, n_shards: int,
+                                   cache_meta: dict):
+        """Build the n_shards-padded merged table from the cached
+        unsharded one (file-backed reads, one output array) and cache
+        it; returns None when the unsharded cache is absent too."""
+        base, h = layout_cache.load_array(idx.prefix, "wtab", cache_meta)
+        if base is None:
+            return None
+        ref_off, sad_off = int(h["ref_off"]), int(h["sad_off"])
+        pad1 = (-ref_off) % n_shards
+        n_rows = base.shape[0] + pad1
+        pad2 = (-n_rows) % n_shards
+        out = np.zeros((n_rows + pad2, base.shape[1]), base.dtype)
+        out[:ref_off] = base[:ref_off]
+        out[ref_off + pad1: base.shape[0] + pad1] = base[ref_off:]
+        self.ref_off = ref_off + pad1
+        self.sad_off = sad_off + pad1
+        layout_cache.save_array(
+            idx.prefix, f"wtab{n_shards}", out,
+            dict(cache_meta, ref_off=self.ref_off, sad_off=self.sad_off))
+        return out
 
     # -- seeding (same submit/finish protocol as the narrow engine) --
 

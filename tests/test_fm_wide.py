@@ -241,3 +241,53 @@ def test_big_genome_cross_2e31(tmp_path):
         cwd=repo, capture_output=True, timeout=6 * 3600)
     assert p.returncode == 0, p.stdout.decode()[-3000:] + p.stderr.decode()[-3000:]
     assert b"ALL CHECKS PASS" in p.stdout
+
+
+def test_wide_sharded_cache_repack(toy_index, tmp_path, monkeypatch, fm):
+    """A sharded wide engine built on top of a warmed unsharded layout
+    cache must repack (not re-derive) the table — identical rows and
+    offsets to build_merged_table_wide(idx, n), and identical results.
+    This is the giant-index path: at GRCh38 scale the repack reads the
+    disk cache instead of re-deriving 6+ GB from the raw index."""
+    import shutil
+
+    import jax
+
+    from dart_tpu.index import layout_cache, load_index
+    from dart_tpu.ops import fm_jax_wide as w
+
+    if len(jax.devices("cpu")) < 2:
+        pytest.skip("needs a 2-device CPU mesh")
+    for ext in (".bwt", ".sa", ".sad", ".pac", ".ann", ".amb"):
+        src = toy_index.prefix + ext
+        if __import__("os").path.exists(src):
+            shutil.copy(src, str(tmp_path / ("toy" + ext)))
+    monkeypatch.setattr(layout_cache, "CACHE_MIN_SEQ", 0)
+    idx = load_index(str(tmp_path / "toy"))
+    # 1) unsharded engine warms the wtab cache
+    w.FMIndexJaxWide(idx, max_dup_num=100)
+    assert (tmp_path / "toy.wtab").exists()
+    # 2) sharded engine must repack from it (and cache the result)
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("index",))
+    sharded = w.FMIndexJaxWide(idx, max_dup_num=100, index_mesh=mesh)
+    assert (tmp_path / "toy.wtab2").exists()
+    want_tab, want_ref, want_sad = w.build_merged_table_wide(idx, 2)
+    assert (sharded.ref_off, sharded.sad_off) == (want_ref, want_sad)
+    np.testing.assert_array_equal(np.asarray(sharded.blocks), want_tab)
+    # 3) results bit-equal to the oracle through the repacked table
+    rng = np.random.default_rng(23)
+    codes = np.empty((8, 64), np.uint8)
+    for i in range(8):
+        p = int(rng.integers(0, idx.seq_len - 64))
+        codes[i] = idx.ref_codes[p:p + 64]
+    rlens = np.full(8, 64, np.int32)
+    got = sharded.seed_reads(codes, rlens)
+    from dart_tpu.aligner import _NumpyEngine
+    from dart_tpu.pipeline.seeding import seed_reads_from_all_walks
+
+    want = seed_reads_from_all_walks(_NumpyEngine(fm, 100), codes, rlens, 100)
+    _assert_seed_tables_match(fm, got, want, 8)
+    rows = rng.integers(1, idx.seq_len, 100, dtype=np.int64)
+    np.testing.assert_array_equal(sharded.locate(rows), fm.locate(rows))
