@@ -152,6 +152,7 @@ def ensure_dataset(cname: str, spec: dict) -> dict | None:
         meta = json.load(open(meta_p)) if os.path.exists(meta_p) else {}
         return {"fq": (fq1, fq2), "prefix": prefix, "dir": d,
                 "index_build_s": meta.get("index_build_s"),
+                "ref_index_build_s": meta.get("ref_index_build_s"),
                 "meta_path": meta_p}
     os.makedirs(d, exist_ok=True)
     if not os.path.exists(fa):
@@ -255,7 +256,9 @@ def time_index_builds(cname: str, spec: dict, ds: dict):
     if "build_pair_s" in meta and meta.get("build_pair_ver") == ver:
         return tuple(meta["build_pair_s"])
     if not spec.get("time_ref_build") or not os.path.exists(REF_IDX_BIN):
-        return ds["index_build_s"], None
+        # prebuilt configs carry whatever times their prep recorded
+        # (the flagship's reference bwt_index time from build_grch38)
+        return ds["index_build_s"], ds.get("ref_index_build_s")
     from dart_tpu.index import build_index
 
     fa = os.path.join(ds["dir"], "genome.fa")

@@ -323,6 +323,10 @@ class DartAligner:
                  "batch_reads": self.cfg.batch_reads,
                  "output_format": self.cfg.output_format,
                  "ramp_reads": RAMP_READS,
+                 # ramp applies to the first file only; a checkpoint
+                 # from the older every-file-ramps layout must not
+                 # resume (chunk boundaries in files > 0 moved)
+                 "ramp_first_file_only": True,
                  "reader": reader_kind,
                  "sj": [[g1, g2, v[0], v[1]] for (g1, g2), v in
                         sorted(self._merged_sj().items())]}
@@ -345,6 +349,8 @@ class DartAligner:
             return None  # chunk boundaries would not line up
         if state.get("ramp_reads") != RAMP_READS:
             return None  # first-chunk ramp changed: boundaries moved
+        if not state.get("ramp_first_file_only"):
+            return None  # pre-throttle layout: files > 0 ramped too
         if state.get("output_format", 0) != self.cfg.output_format:
             return None  # SAM checkpoint cannot resume a BAM run etc.
         if not os.path.exists(self.cfg.output_file):
@@ -430,19 +436,26 @@ class DartAligner:
             # inputs of manageable size use the vectorized whole-buffer
             # readers feeding the native pipeline blobs
             small = os.path.getsize(path1) < (8 << 30)
+            # only the FIRST file's first chunk ramps: the ramp exists
+            # to fill the device pipeline quickly at startup, and a
+            # 4096-read chunk costs nearly a full chunk's wall once the
+            # pipeline is hot (measured on the 10-file sustained run)
+            ramp = file_idx == 0
             if self.native is not None and path2 is None and small:
                 from .io.fastx_fast import FastChunkReader
 
                 reader = FastChunkReader(path1, cfg.pair_end,
-                                         cfg.batch_reads)
+                                         cfg.batch_reads, ramp=ramp)
             elif (self.native is not None and path2 is not None and small
                   and os.path.getsize(path2) < (8 << 30)):
                 from .io.fastx_fast import FastPairedReader
 
-                reader = FastPairedReader(path1, path2, cfg.batch_reads)
+                reader = FastPairedReader(path1, path2, cfg.batch_reads,
+                                          ramp=ramp)
             else:
                 reader = ChunkReader(path1, path2, cfg.pair_end,
-                                     chunk_reads=cfg.batch_reads)
+                                     chunk_reads=cfg.batch_reads,
+                                     ramp=ramp)
             pair_end = reader.pair_end
             chunks_done = 0
             if resume is not None and file_idx == resume["file_idx"]:
@@ -472,7 +485,10 @@ class DartAligner:
                           f"in {int(time.time() - start)} seconds...",
                           end="", file=sys.stderr)
                 nonlocal_state["chunks"] += 1
-                if cfg.checkpoint:
+                if cfg.checkpoint and (
+                        cfg.ckpt_interval_s <= 0
+                        or time.time() - nonlocal_state["ckpt_t"]
+                        >= cfg.ckpt_interval_s):
                     if writer is not None:
                         off = writer.flush_boundary()
                     else:
@@ -480,8 +496,9 @@ class DartAligner:
                         off = out_stream.tell()
                     self._ckpt_save(_fi, nonlocal_state["chunks"], off,
                                     type(reader).__name__)
+                    nonlocal_state["ckpt_t"] = time.time()
 
-            nonlocal_state = {"chunks": chunks_done}
+            nonlocal_state = {"chunks": chunks_done, "ckpt_t": 0.0}
             if self.native is not None:
                 self._run_pipelined(reader, pair_end, emit)
             else:

@@ -44,6 +44,9 @@ Extensions:
          --batch N     reads per device chunk [65536]
          --checkpoint  per-chunk resume cursor (SAM/BAM; per host
                        when distributed)
+         --ckpt-interval S  min seconds between checkpoint saves
+                       (0 = every chunk; throttling amortizes the
+                       ~0.15 s durable save over long streams) [0]
          --stats       per-stage timing report
          --profile DIR write a jax.profiler trace
          --no-native   pure-Python host pipeline (no C++ toolchain)
@@ -129,6 +132,9 @@ def parse_args(argv: list[str]) -> DartConfig | None:
             cfg.native = False
         elif a == "--checkpoint":
             cfg.checkpoint = True
+        elif a == "--ckpt-interval":
+            i += 1
+            cfg.ckpt_interval_s = float(argv[i])
         elif a == "--stats":
             cfg.stats = True
         elif a == "--profile":

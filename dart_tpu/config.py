@@ -41,6 +41,11 @@ class DartConfig:
     mesh: str = ""            # --mesh data=N[,index=M] multi-chip spec
     native: bool = True       # C++ host pipeline (fallback: pure Python)
     checkpoint: bool = False  # per-chunk cursor persistence + resume
+    # minimum seconds between checkpoint saves (0 = save every chunk).
+    # A durable save costs ~0.15 s on this VM class (json + atomic
+    # rename); long streams throttle it so a crash re-does at most
+    # ckpt_interval_s of work instead of paying the save per chunk
+    ckpt_interval_s: float = 0.0
     stats: bool = False       # per-stage timing report on stderr
     profile_dir: str = ""     # write a jax.profiler trace here
     # multi-host run (jax.distributed); nprocs > 1 activates

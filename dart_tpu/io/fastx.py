@@ -129,7 +129,7 @@ class ChunkReader:
 
     def __init__(self, path1: str, path2: str | None, pair_end: bool,
                  chunk_reads: int = READ_CHUNK_SIZE,
-                 chunk_bases: int | None = None):
+                 chunk_bases: int | None = None, ramp: bool = True):
         self.chunk_reads = chunk_reads
         self.chunk_bases = (chunk_bases if chunk_bases is not None
                             else CHUNK_BASE_LIMIT * max(1, chunk_reads // READ_CHUNK_SIZE))
@@ -139,7 +139,7 @@ class ChunkReader:
         self.r2 = _LineReader(path2, path2.endswith(".gz")) if path2 else None
         self.pair_end = pair_end or path2 is not None
         self.sep_library = path2 is not None
-        self._first = True  # first-chunk ramp (constants.RAMP_READS)
+        self._first = ramp  # first-chunk ramp (constants.RAMP_READS)
 
     def next_chunk(self) -> list[ReadItem]:
         lim = self.chunk_reads

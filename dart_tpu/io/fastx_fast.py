@@ -109,7 +109,9 @@ class FastChunkReader:
     """Chunked vectorized reader over one (optionally gzipped) file.
     Supports single-end and interleaved paired-end FASTQ/FASTA."""
 
-    def __init__(self, path: str, pair_end: bool, chunk_reads: int):
+    def __init__(self, path: str, pair_end: bool, chunk_reads: int,
+                 ramp: bool = True):
+        self._ramp = ramp
         raw = open(path, "rb").read()
         if path.endswith(".gz"):
             raw = gzip.decompress(raw)
@@ -125,7 +127,10 @@ class FastChunkReader:
             1, chunk_reads // READ_CHUNK_SIZE)
         self._parse()
         self.cursor = 0
-        self._first = True  # first-chunk ramp (constants.RAMP_READS)
+        # first-chunk ramp (constants.RAMP_READS); later files of a
+        # multi-file stream skip it — the pipeline is already hot, and
+        # a 4096-read chunk costs nearly as much wall as a full one
+        self._first = self._ramp
 
     def _parse(self):
         buf = self.buf
@@ -253,7 +258,8 @@ class FastPairedReader:
     chunks interleave mate1/mate2 per pair with the 2nd mate
     reverse-complemented, matching the streaming reader's layout."""
 
-    def __init__(self, path1: str, path2: str, chunk_reads: int):
+    def __init__(self, path1: str, path2: str, chunk_reads: int,
+                 ramp: bool = True):
         self.r1 = FastChunkReader(path1, False, chunk_reads)
         self.r2 = FastChunkReader(path2, False, chunk_reads)
         self.fastq = self.r1.fastq
@@ -263,7 +269,7 @@ class FastPairedReader:
             1, chunk_reads // READ_CHUNK_SIZE)
         self.cursor = 0
         self.n_pairs = min(self.r1.n_reads, self.r2.n_reads)
-        self._first = True  # first-chunk ramp (constants.RAMP_READS)
+        self._first = ramp  # first-chunk ramp (constants.RAMP_READS)
 
     @staticmethod
     def _interleave(bufA, sA, eA, bufB, sB, eB):

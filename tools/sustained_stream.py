@@ -35,6 +35,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=10)
     ap.add_argument("--checkpoint", action="store_true")
+    ap.add_argument("--ckpt-interval", type=float, default=0.0,
+                    help="min seconds between checkpoint saves "
+                    "(0 = every chunk)")
     ap.add_argument("--dataset", default=os.path.join(
         os.environ.get("DART_TPU_BENCH_DIR", "/root/dart_tpu_bench"),
         "8mbp_se"))
@@ -59,6 +62,7 @@ def main():
     cfg.output_file = "/tmp/sustained_stream.sam"
     cfg.sj_file = "/tmp/sustained_stream.tab"
     cfg.checkpoint = args.checkpoint
+    cfg.ckpt_interval_s = args.ckpt_interval
 
     for stale in (cfg.output_file + ".ckpt",):
         if os.path.exists(stale):
@@ -136,6 +140,7 @@ def main():
         "rss_mb_start": round(rss_first, 1),
         "rss_mb_end": round(rss_last, 1),
         "checkpoint": bool(args.checkpoint),
+        "ckpt_interval_s": args.ckpt_interval,
     }
     print(json.dumps(result))
     return 0
