@@ -217,7 +217,7 @@ class DartAligner:
 
     # ---- full run ----
 
-    def _run_pipelined(self, reader, pair_end: bool, emit) -> None:
+    def _run_stream_pipelined(self, files, emit) -> None:
         """Overlap the device stages (seeding + locates for chunk k+1)
         with the native host stages (finalize + output for chunk k) and
         input parsing — the aligner analogue of the reference's
@@ -225,14 +225,30 @@ class DartAligner:
         device as the producer. submit_chunk dispatches chunk k+1's
         first automaton round asynchronously BEFORE chunk k's results
         are drained, so the relay executes it while the host finalizes
-        and writes chunk k. Output order stays deterministic."""
+        and writes chunk k. The stream spans ALL -f files (the
+        reference's pool never drains between libraries either,
+        main.cpp:142-151): a later file's first parse+submit overlaps
+        the previous file's drain, which is also why only the very
+        first chunk ramps. Output order stays deterministic.
+
+        files yields per-file state dicts ({reader, pair_end, fastq,
+        file_idx, chunks, kind}); emit(sam, fst) writes one chunk."""
         from .pipeline.seeding import finish_chunk, submit_chunk
+
+        state = {"fst": next(files, None)}
 
         def parse_next():
             t0 = time.time()
-            reads = reader.next_chunk()
-            self.stats["input_parse_s"] += time.time() - t0
-            return reads
+            try:
+                while state["fst"] is not None:
+                    reads = state["fst"]["reader"].next_chunk()
+                    if reads:
+                        return state["fst"], reads
+                    state["fst"]["reader"].close()
+                    state["fst"] = next(files, None)
+                return None, None
+            finally:
+                self.stats["input_parse_s"] += time.time() - t0
 
         def submit(reads):
             t0 = time.time()
@@ -240,21 +256,21 @@ class DartAligner:
             self.stats["device_seed_locate_s"] += time.time() - t0
             return job
 
-        reads = parse_next()
+        fst, reads = parse_next()
         job = submit(reads) if reads else None
         while reads:
             nxt = {}
 
             def prefetch():
-                r = parse_next()
-                nxt["reads"] = r
-                nxt["job"] = submit(r) if r else None
+                f2, r2 = parse_next()
+                nxt["fst"], nxt["reads"] = f2, r2
+                nxt["job"] = submit(r2) if r2 else None
 
-            self._finish_chunk(reads, job, pair_end, reader.fastq, emit,
-                               prefetch)
+            self._finish_chunk(reads, job, fst["pair_end"], fst["fastq"],
+                               lambda sam, _f=fst: emit(sam, _f), prefetch)
             if "reads" not in nxt:  # eager jobs never call the hook
                 prefetch()
-            reads, job = nxt["reads"], nxt["job"]
+            fst, reads, job = nxt["fst"], nxt["reads"], nxt["job"]
 
     def _finish_chunk(self, reads, job, pair_end: bool, fastq: bool,
                       emit, on_wait=None) -> None:
@@ -430,84 +446,95 @@ class DartAligner:
                 out_stream.write("".join(line + "\n" for line in header)
                                  .encode("latin-1"))
         files2 = cfg.read_files_2 if cfg.read_files_2 else [None] * len(cfg.read_files_1)
-        for file_idx, (path1, path2) in enumerate(zip(cfg.read_files_1, files2)):
-            if resume is not None and file_idx < resume["file_idx"]:
-                continue
+
+        def make_reader(file_idx: int, path1: str, path2):
             # inputs of manageable size use the vectorized whole-buffer
             # readers feeding the native pipeline blobs
             small = os.path.getsize(path1) < (8 << 30)
             # only the FIRST file's first chunk ramps: the ramp exists
-            # to fill the device pipeline quickly at startup, and a
-            # 4096-read chunk costs nearly a full chunk's wall once the
-            # pipeline is hot (measured on the 10-file sustained run)
+            # to fill the device pipeline quickly at startup; later
+            # files' first parses already overlap the previous file's
+            # drain in the cross-file pipelined stream
             ramp = file_idx == 0
             if self.native is not None and path2 is None and small:
                 from .io.fastx_fast import FastChunkReader
 
-                reader = FastChunkReader(path1, cfg.pair_end,
-                                         cfg.batch_reads, ramp=ramp)
-            elif (self.native is not None and path2 is not None and small
-                  and os.path.getsize(path2) < (8 << 30)):
+                return FastChunkReader(path1, cfg.pair_end,
+                                       cfg.batch_reads, ramp=ramp)
+            if (self.native is not None and path2 is not None and small
+                    and os.path.getsize(path2) < (8 << 30)):
                 from .io.fastx_fast import FastPairedReader
 
-                reader = FastPairedReader(path1, path2, cfg.batch_reads,
-                                          ramp=ramp)
-            else:
-                reader = ChunkReader(path1, path2, cfg.pair_end,
-                                     chunk_reads=cfg.batch_reads,
-                                     ramp=ramp)
-            pair_end = reader.pair_end
-            chunks_done = 0
-            if resume is not None and file_idx == resume["file_idx"]:
-                for _ in range(resume["chunks"]):
-                    reader.next_chunk()  # fast-forward (deterministic)
-                chunks_done = resume["chunks"]
-                resume = None
+                return FastPairedReader(path1, path2, cfg.batch_reads,
+                                        ramp=ramp)
+            return ChunkReader(path1, path2, cfg.pair_end,
+                               chunk_reads=cfg.batch_reads, ramp=ramp)
 
-            def emit(sam, _fi=file_idx):
-                if isinstance(sam, bytes):
-                    if writer is not None:
-                        writer.write_sam_bytes(sam)
-                    elif text_out:
-                        out_stream.write(sam.decode("latin-1"))
-                    else:
-                        out_stream.write(sam)
-                elif writer is not None:
-                    for line in sam:
-                        writer.write_record(line)
+        def file_states():
+            nonlocal resume
+            for file_idx, (path1, path2) in enumerate(
+                    zip(cfg.read_files_1, files2)):
+                if resume is not None and file_idx < resume["file_idx"]:
+                    continue
+                reader = make_reader(file_idx, path1, path2)
+                chunks_done = 0
+                if resume is not None and file_idx == resume["file_idx"]:
+                    for _ in range(resume["chunks"]):
+                        reader.next_chunk()  # fast-forward (deterministic)
+                    chunks_done = resume["chunks"]
+                    resume = None
+                yield {"file_idx": file_idx, "reader": reader,
+                       "chunks": chunks_done, "kind": type(reader).__name__,
+                       "pair_end": reader.pair_end, "fastq": reader.fastq}
+
+        ckpt_state = {"t": 0.0}
+
+        def emit(sam, fst):
+            if isinstance(sam, bytes):
+                if writer is not None:
+                    writer.write_sam_bytes(sam)
+                elif text_out:
+                    out_stream.write(sam.decode("latin-1"))
                 else:
-                    text = "\n".join(sam) + ("\n" if sam else "")
-                    out_stream.write(text if text_out
-                                     else text.encode("latin-1"))
-                if not cfg.silent:
-                    print(f"\r{self.counters['total']} "
-                          f"{'paired-end' if pair_end else 'singled-end'} tags processed "
-                          f"in {int(time.time() - start)} seconds...",
-                          end="", file=sys.stderr)
-                nonlocal_state["chunks"] += 1
-                if cfg.checkpoint and (
-                        cfg.ckpt_interval_s <= 0
-                        or time.time() - nonlocal_state["ckpt_t"]
-                        >= cfg.ckpt_interval_s):
-                    if writer is not None:
-                        off = writer.flush_boundary()
-                    else:
-                        out_stream.flush()
-                        off = out_stream.tell()
-                    self._ckpt_save(_fi, nonlocal_state["chunks"], off,
-                                    type(reader).__name__)
-                    nonlocal_state["ckpt_t"] = time.time()
-
-            nonlocal_state = {"chunks": chunks_done, "ckpt_t": 0.0}
-            if self.native is not None:
-                self._run_pipelined(reader, pair_end, emit)
+                    out_stream.write(sam)
+            elif writer is not None:
+                for line in sam:
+                    writer.write_record(line)
             else:
+                text = "\n".join(sam) + ("\n" if sam else "")
+                out_stream.write(text if text_out
+                                 else text.encode("latin-1"))
+            if not cfg.silent:
+                print(f"\r{self.counters['total']} "
+                      f"{'paired-end' if fst['pair_end'] else 'singled-end'} tags processed "
+                      f"in {int(time.time() - start)} seconds...",
+                      end="", file=sys.stderr)
+            fst["chunks"] += 1
+            if cfg.checkpoint and (
+                    cfg.ckpt_interval_s <= 0
+                    or time.time() - ckpt_state["t"]
+                    >= cfg.ckpt_interval_s):
+                if writer is not None:
+                    off = writer.flush_boundary()
+                else:
+                    out_stream.flush()
+                    off = out_stream.tell()
+                self._ckpt_save(fst["file_idx"], fst["chunks"], off,
+                                fst["kind"])
+                ckpt_state["t"] = time.time()
+
+        if self.native is not None:
+            self._run_stream_pipelined(file_states(), emit)
+        else:
+            for fst in file_states():
+                reader = fst["reader"]
                 while True:
                     reads = reader.next_chunk()
                     if not reads:
                         break
-                    emit(self.process_chunk(reads, pair_end, reader.fastq))
-            reader.close()
+                    emit(self.process_chunk(reads, fst["pair_end"],
+                                            fst["fastq"]), fst)
+                reader.close()
         if own:
             if writer is not None:
                 writer.close()

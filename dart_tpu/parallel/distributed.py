@@ -269,7 +269,11 @@ def run_distributed(cfg, coordinator: str, num_processes: int,
                 offs = resume["offs"]
                 resume = None
             if aligner.native is not None:
-                aligner._run_pipelined(reader, reader.pair_end, emit)
+                fst = {"file_idx": fi, "reader": reader, "chunks": 0,
+                       "kind": type(reader).__name__,
+                       "pair_end": reader.pair_end, "fastq": reader.fastq}
+                aligner._run_stream_pipelined(iter([fst]),
+                                              lambda sam, _f: emit(sam))
             else:
                 while True:
                     reads = reader.next_chunk()
