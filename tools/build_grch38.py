@@ -63,6 +63,76 @@ def revcomp_codes(codes):
     return out
 
 
+def load_genome_codes(fa):
+    """Vectorized FASTA -> {name: uint8 codes} for re-simulating reads
+    against an existing (expensive-to-rebuild) genome."""
+    raw = np.fromfile(fa, dtype=np.uint8)
+    gt = np.flatnonzero(raw == ord(">"))
+    gt = gt[(gt == 0) | (raw[gt - 1] == ord("\n"))]
+    lut = np.full(256, 4, dtype=np.uint8)
+    for i, b in enumerate(b"ACGT"):
+        lut[b] = i
+    out = {}
+    bounds = list(gt) + [raw.size]
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        nl = s + int(np.argmax(raw[s:e] == ord("\n")))
+        name = raw[s + 1:nl].tobytes().decode().split()[0]
+        body = raw[nl + 1:e]
+        out[name] = lut[body[body != ord("\n")]]
+    return out
+
+
+def _find_motif(codes, start, a, b, span=600):
+    """First position p in [start, start+span) with codes[p]==a,
+    codes[p+1]==b (e.g. the GT donor / AG acceptor dinucleotide).
+    Returns -1 if none — in random DNA one lands every ~16 bp."""
+    w = codes[start:start + span]
+    hits = np.flatnonzero((w[:-1] == a) & (w[1:] == b))
+    return start + int(hits[0]) if hits.size else -1
+
+
+def sim_spliced_pair(rr, codes, rlen):
+    """One PE fragment from a spliced transcript over naturally
+    occurring GT..AG introns (the genome carries no planted genes, and
+    editing it would invalidate the prebuilt index — random DNA has a
+    GT every ~16 bp, so donor/acceptor sites are just searched for).
+    Exon/intron geometry mirrors make_fixtures.plant_genes (exons
+    80-220, introns 60-8000). Returns (mate1, mate2, pos1) or None."""
+    isz = int(rr.integers(200, 500))
+    base = int(rr.integers(0, len(codes) - 60000))
+    exons = []
+    cursor = base
+    total = 0
+    while total < isz + rlen and len(exons) < 6:
+        elen = int(rr.integers(80, 220))
+        exons.append((cursor, cursor + elen))
+        total += elen
+        cursor += elen
+        if total >= isz + rlen:
+            break
+        d = _find_motif(codes, cursor, 2, 3)  # GT
+        if d < 0:
+            return None
+        ilen = int(rr.integers(60, 8000))
+        a = _find_motif(codes, d + ilen, 0, 2)  # AG
+        if a < 0:
+            return None
+        cursor = a + 2  # next exon starts right after the AG
+    t = np.concatenate([codes[s:e] for s, e in exons])
+    if (t > 3).any() or t.shape[0] < isz:
+        return None
+    pos = int(rr.integers(0, t.shape[0] - isz + 1))
+    frag = t[pos:pos + isz]
+    m1 = frag[:rlen].copy()
+    m2 = revcomp_codes(frag[-rlen:])
+    for m in (m1, m2):
+        mut = (rr.random(rlen) < 0.005) & (m < 4)
+        if mut.any():
+            m[mut] = (m[mut] + rr.integers(1, 4, int(mut.sum()),
+                                           dtype=np.uint8)) % 4
+    return m1, m2, exons[0][0] + pos + 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir",
@@ -74,6 +144,14 @@ def main():
                     help="chromosome length scale (1.0 = hg38 sizes)")
     ap.add_argument("--pairs", type=int, default=50000)
     ap.add_argument("--rlen", type=int, default=100)
+    ap.add_argument("--spliced-frac", type=float, default=0.3,
+                    help="fraction of pairs drawn from spliced "
+                    "transcripts (GT..AG introns), mirroring the "
+                    "8/50 Mbp single-end configs")
+    ap.add_argument("--force-reads", action="store_true",
+                    help="re-simulate the read pairs even if they "
+                    "exist (invalidates the parity oracle and the "
+                    "bench readiness marker; re-run prep_flagship)")
     ap.add_argument("--builder", choices=("ours", "ref"), default="ours",
                     help="index builder: our SA-IS, or the reference "
                     "bwt_index binary (byte-identical output minus the "
@@ -98,7 +176,7 @@ def main():
     rng = np.random.default_rng(20260817)
 
     chrom_codes = {}
-    if not os.path.exists(fa) or not os.path.exists(fq1):
+    if not os.path.exists(fa):
         log(f"generating {sum(lens)/1e9:.2f} Gbp genome "
             f"({len(lens)} chromosomes)...")
         with open(fa, "wb") as f:
@@ -111,7 +189,13 @@ def main():
                     codes[start:start + int(rng.integers(5, 40))] = 4
                 chrom_codes[name] = codes
                 write_chrom(f, name, codes)
-        log("genome written; simulating read pairs...")
+        log("genome written")
+    if args.force_reads or not os.path.exists(fq1):
+        if not chrom_codes:
+            log("loading existing genome for read simulation...")
+            chrom_codes = load_genome_codes(fa)
+        log(f"simulating {args.pairs} read pairs "
+            f"({int(args.spliced_frac*100)}% spliced)...")
         rr = np.random.default_rng(20260818)
         recs1, recs2 = [], []
         per = args.pairs // len(names) + 1
@@ -121,18 +205,27 @@ def main():
             take = min(per, args.pairs - made)
             if take <= 0:
                 break
+            n_spl = int(take * args.spliced_frac)
             isz = rr.integers(200, 500, take)
             pos = rr.integers(0, len(codes) - 500, take)
             for i in range(take):
-                frag = codes[pos[i]:pos[i] + isz[i]]
-                a = frag[:args.rlen].copy()
-                b = revcomp_codes(frag[-args.rlen:])
-                for m in (a, b):
-                    mut = (rr.random(args.rlen) < 0.005) & (m < 4)
-                    if mut.any():
-                        m[mut] = (m[mut] + rr.integers(1, 4, int(mut.sum()),
-                                                       dtype=np.uint8)) % 4
-                nm = f"p{made}_{name}:{pos[i]+1}"
+                if i < n_spl:
+                    got = None
+                    while got is None:
+                        got = sim_spliced_pair(rr, codes, args.rlen)
+                    a, b, p1 = got
+                    nm = f"s{made}_{name}:{p1}"
+                else:
+                    frag = codes[pos[i]:pos[i] + isz[i]]
+                    a = frag[:args.rlen].copy()
+                    b = revcomp_codes(frag[-args.rlen:])
+                    for m in (a, b):
+                        mut = (rr.random(args.rlen) < 0.005) & (m < 4)
+                        if mut.any():
+                            m[mut] = (m[mut]
+                                      + rr.integers(1, 4, int(mut.sum()),
+                                                    dtype=np.uint8)) % 4
+                    nm = f"p{made}_{name}:{pos[i]+1}"
                 recs1.append((nm, BASES[a].tobytes().decode()))
                 recs2.append((nm, BASES[b].tobytes().decode()))
                 made += 1
@@ -146,6 +239,24 @@ def main():
                 f2.write(f"@{n2}\n{s2}\n+\n{'I'*len(s2)}\n")
         log(f"{made} pairs written")
         del chrom_codes
+        # new reads invalidate every derived artifact: the reference
+        # parity oracle, its junction table, the timed outputs, and
+        # the bench readiness marker (prep_flagship re-derives them)
+        import contextlib
+        import glob
+        for p in (glob.glob(os.path.join(args.workdir, "ref_*.sam"))
+                  + [os.path.join(args.workdir, x) for x in
+                     ("ref.junctions.tab", "tiny.fq", "tiny.sam",
+                      "ref_timed.sam", "ref_timed.bam", "tpu.sam",
+                      "tpu.bam", "tpu.junctions.tab")]):
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(p)
+        meta_p = os.path.join(args.workdir, "meta.json")
+        meta = json.load(open(meta_p)) if os.path.exists(meta_p) else {}
+        meta["ready"] = False
+        meta["spliced_frac"] = args.spliced_frac
+        with open(meta_p, "w") as f:
+            json.dump(meta, f)
 
     if not os.path.exists(prefix + ".bwt") or args.force_index:
         if args.force_index and os.path.exists(prefix + ".bwt"):

@@ -10,12 +10,22 @@ Stage 1 builds the index with the REFERENCE bwt_index binary by
 default (--builder ref): our builder's output is byte-identical
 (tests/test_index.py) and at wide scale the .sad dense samples
 degenerate to the same intv-32 sampling as .sa (builder.py:264), so
-the aligner loses nothing — while the reference's BWT-SW incremental
-builder is measured faster at every size and, on this one-core
-tenant-shared host, the SA-IS over 6.2e9 positions (~8 h) would not
-fit a round alongside the bench itself. Run our builder separately
-(tools/build_grch38.py --builder ours --force-index) to record the
-SA-IS flagship build time.
+the aligner loses nothing. Builder speed depends on scale (same-window
+measured pairs live in each dataset's meta.json build_pair_s and the
+README table): at 8-50 Mbp the two builders trade places between
+windows, but at flagship scale the reference's block-incremental
+BWT-SW (bwt_gen.c:1292-1595, 7259 s at 3.09 Gbp) beats our SA-IS
+(which needs the full 6.2e9-position suffix array in memory, ~8 h on
+this one-core host) — so prep defaults to the reference builder to
+fit a round. Run our builder separately (tools/build_grch38.py
+--builder ours --force-index) to record the SA-IS flagship time.
+
+When the reads change (build_grch38 --force-reads), stages 2-3 re-run
+automatically: --force-reads deletes the oracle artifacts and clears
+the meta.json ready flag; this script rebuilds them and writes
+ready=true last — bench.py refuses the config until then (the
+round-4 flagship bench raced a half-built index; the marker closes
+that race).
 
 Run nice'd in the background (this host has one core):
   DART_TPU_BUILD_LOG=1 nohup nice -n19 python tools/prep_flagship.py &
@@ -59,10 +69,18 @@ def main() -> int:
 
     t1 = time.time()
     log("stage 2: reference parity oracle...")
-    ds = bench.ensure_dataset("grch38_pe_bam", spec)
-    if ds is None:
-        log("dataset incomplete after build?!")
-        return 1
+    # construct the dataset dict directly: bench.ensure_dataset gates
+    # on the ready marker this script has not written yet
+    n = spec["n_reads"]
+    ds = {"fq": (os.path.join(d, f"reads_{n}_1.fq"),
+                 os.path.join(d, f"reads_{n}_2.fq")),
+          "prefix": os.path.join(d, "idx"), "dir": d,
+          "meta_path": os.path.join(d, "meta.json")}
+    for p in [*ds["fq"]] + [ds["prefix"] + e for e in
+                            (".bwt", ".pac", ".ann", ".amb", ".sa")]:
+        if not os.path.exists(p):
+            log(f"dataset incomplete after build ({p} missing)?!")
+            return 1
     bench.ensure_parity_oracle("grch38_pe_bam", spec, ds)
     log(f"stage 2 done ({time.time() - t1:.0f}s)")
 
@@ -74,6 +92,13 @@ def main() -> int:
     import warm_layout_cache
 
     warm_layout_cache.main(os.path.join(d, "idx"))
+    import json
+
+    meta_p = ds["meta_path"]
+    meta = json.load(open(meta_p)) if os.path.exists(meta_p) else {}
+    meta["ready"] = True  # written LAST: bench.py's readiness gate
+    with open(meta_p, "w") as f:
+        json.dump(meta, f)
     log(f"stage 3 done ({time.time() - t2:.0f}s); flagship ready "
         f"({time.time() - t0:.0f}s total)")
     return 0
