@@ -524,6 +524,10 @@ def _norm_flags_pairwise(recs: list[tuple[str, int, str]]) -> list[int]:
     - single-end unmapped reads: FLAG is garbage; ours is always 4.
     - half-mapped pairs (exactly one end unmapped): the reference
       sometimes emits stale proper-pair/mate bits (e.g. 83/99/147).
+    - both-ends-unmapped pairs: same stale emission (e.g. 83/163 on
+      rname-* records); the intended values are 77/141
+      (Mapping.cpp:148-151 and 180-182: 0x41|0x4|0x8 / 0x81|0x4|0x8),
+      which is what we emit.
       The normalization target is the reference's INTENDED flags
       (Mapping.cpp:101-186, where mate 2 is stored RC'd — proven by
       the toy goldens, where the reference emits them cleanly:
@@ -555,6 +559,9 @@ def _norm_flags_pairwise(recs: list[tuple[str, int, str]]) -> list[int]:
                 rev = bool(mf & 0x10)
                 out[mi] = 1 | 8 | (mf & 0xC0) | (0x10 if rev else 0x20)
                 out[ui] = 1 | 4 | (uf & 0xC0) | (0x20 if rev else 0x10)
+            elif un1 and un2:
+                out[i] = 1 | 4 | 8 | (out[i] & 0xC0)
+                out[i + 1] = 1 | 4 | 8 | (out[i + 1] & 0xC0)
             i += 2
             continue
         i += 1

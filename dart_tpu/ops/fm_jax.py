@@ -27,6 +27,9 @@ Results are bit-identical to ops/fm_numpy.FMIndexNumpy (tested).
 from __future__ import annotations
 
 import functools
+import os
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +39,17 @@ from ..index import layout_cache
 from ..index.loader import Index
 
 BLOCK = 64  # bases per occ-checkpoint row
+
+_TRACE = bool(os.environ.get("DART_TPU_TRACE_ROUNDS"))
+
+
+def _tr(tag: str) -> None:
+    """Relay-round timeline tracing (DART_TPU_TRACE_ROUNDS=1): one
+    stderr line per submit/block/unblock event, for localizing how
+    much of device_wait_s is per-round relay latency vs compute."""
+    if _TRACE:
+        print(f"[rt {time.monotonic():.3f}] {tag}", file=sys.stderr,
+              flush=True)
 
 
 def build_device_layout(idx: Index):
@@ -339,7 +353,9 @@ class FMIndexJax:
             if rounds > 4:
                 raise RuntimeError("seed scan failed to converge")
             nlive = lane_ids.size
+            _tr(f"seed drain r{rounds} block (nlive={nlive})")
             host = np.asarray(dev)[:nlive]  # one d2h
+            _tr(f"seed drain r{rounds} done")
             done = (host[:, 0] & 1) != 0
             if rounds == 1 and has_n is not None:
                 # N-containing reads ran round 1 with their ambiguous
@@ -420,6 +436,7 @@ class FMIndexJax:
                 sa_intv=self.sa_intv, seq_len=self.seq_len,
                 use_nmask=use_nmask),
                 **self._seed_sh)
+        _tr(f"seed submit Rp={Rp} T={T} ({buf.nbytes >> 10} KiB up)")
         return self._seed_jit[key](self.table, self.L2, self._lut,
                                    jnp.asarray(buf))
 
@@ -458,6 +475,7 @@ class FMIndexJax:
                 _locate_packed, primary=self.primary,
                 sa_intv=self.sa_intv, sad_off=self.sad_off,
                 max_iters=T), **self._loc_sh)
+        _tr(f"locate submit n={cur_k.size} pad={npad} T={T}")
         return self._locate_jit[key](self.blocks, self.L2, jnp.asarray(kp))
 
     def locate_submit(self, rows: np.ndarray):
@@ -490,7 +508,9 @@ class FMIndexJax:
         cur_k = job["k"]
         dev = job["dev"]
         while lane_ids.size:
+            _tr(f"locate drain block (n={lane_ids.size})")
             loc = np.asarray(dev)[: lane_ids.size]  # one transfer
+            _tr("locate drain done")
             fin = loc != _LOCATE_UNFINISHED
             out[lane_ids[fin]] = loc[fin]
             live = ~fin

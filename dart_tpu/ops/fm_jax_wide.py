@@ -42,7 +42,7 @@ import numpy as np
 
 from ..index import layout_cache
 from ..index.loader import Index
-from .fm_jax import _clz32, _pc_even, _sel4, _sel8
+from .fm_jax import _clz32, _pc_even, _sel4, _sel8, _tr
 
 BLOCK_W = 128  # bases per wide occ-checkpoint row
 
@@ -972,6 +972,7 @@ class FMIndexJaxWide:
                 sad_off=self.sad_off, sa_intv=self.sa_intv,
                 seq_len=self.seq_len, use_nmask=use_nmask),
                 **self._seed_sh)
+        _tr(f"wseed submit Rp={Rp} T={T} ({buf.nbytes >> 10} KiB up)")
         return self._seed_jit[key](self.blocks, self.L2lo, self.L2hi,
                                    self._lut, jnp.asarray(buf))
 
@@ -1013,7 +1014,9 @@ class FMIndexJaxWide:
             if rounds > 4:
                 raise RuntimeError("seed scan failed to converge")
             nlive = lane_ids.size
+            _tr(f"wseed drain r{rounds} block (nlive={nlive})")
             host = np.asarray(dev)[:nlive]
+            _tr(f"wseed drain r{rounds} done")
             done = (host[:, 0] & 1) != 0
             if rounds == 1 and has_n is not None:
                 # reroute N-containing reads to the masked rerun (their
@@ -1101,6 +1104,7 @@ class FMIndexJaxWide:
                 _locate_kernel_wide, primary=self.primary,
                 sa_intv=self.sa_intv, sad_off=self.sad_off,
                 max_iters=T), **self._loc_sh)
+        _tr(f"wlocate submit n={cur_k.size} pad={npad} T={T}")
         return self._locate_jit[key](
             self.blocks, self.L2lo, self.L2hi,
             jnp.asarray(klo), jnp.asarray(khi))
@@ -1127,7 +1131,9 @@ class FMIndexJaxWide:
         cur_k = job["k"]
         dev = job["dev"]
         while lane_ids.size:
+            _tr(f"wlocate drain block (n={lane_ids.size})")
             res = np.asarray(dev)[: lane_ids.size]
+            _tr("wlocate drain done")
             lo32 = res[:, 0].view(np.uint32)
             hi32 = res[:, 1].view(np.uint32)
             fin = hi32 != _UNFINISHED_HI

@@ -159,11 +159,14 @@ def _expand_occurrences_pipelined(engine, payload, n_reads, on_wait=None):
     unpipelined path: parts partition the lanes, and within a part the
     (lane, seed, within) order equals the global order restricted to
     those lanes."""
+    from ..ops.fm_jax import _tr
+
     S = payload["S"]
     rpos_full = np.zeros((n_reads, S), dtype=np.int32)
     len_full = np.zeros((n_reads, S), dtype=np.int32)
     freq_v_full = np.zeros((n_reads, S), dtype=np.int64)
     parts = []
+    _tr(f"chunk expand start (reads={n_reads})")
     for ids, nn, rp, ln, kk, fr in engine.seed_drain(payload):
         rpos_full[ids] = rp
         len_full[ids] = ln
@@ -173,6 +176,7 @@ def _expand_occurrences_pipelined(engine, payload, n_reads, on_wait=None):
         loc_job = engine.locate_submit(rows[nd]) if nd.any() else None
         parts.append((ids, loc_job, rows, direct))
     if on_wait is not None:
+        _tr("on_wait (next chunk submit)")
         on_wait()
     occ_off = np.zeros(n_reads + 1, dtype=np.int64)
     per_read = freq_v_full.sum(axis=1)

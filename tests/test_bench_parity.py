@@ -65,6 +65,15 @@ def test_fully_mapped_and_fully_unmapped_pairs_untouched():
     assert _norm_flags_pairwise(recs) == [99, 147, 77, 141]
 
 
+def test_both_unmapped_pair_stale_flags_normalized():
+    # seen at flagship scale (s12578_chr7, GRCh38 run): the reference
+    # emitted 83/163 on a both-ends-unmapped pair — stale proper-pair
+    # and strand bits on rname-* records. Intended values are
+    # 0x41|4|8 = 77 and 0x81|4|8 = 141 (Mapping.cpp:148-151, 180-182)
+    recs = [("s", 83, "*"), ("s", 163, "*")]
+    assert _norm_flags_pairwise(recs) == [77, 141]
+
+
 def test_lone_paired_record_passes_through():
     # a paired-flag record whose mate is not adjacent is left alone
     recs = [("x", 99, "chr1"), ("y", 0, "chr2")]
