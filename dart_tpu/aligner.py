@@ -218,18 +218,23 @@ class DartAligner:
     # ---- full run ----
 
     def _run_stream_pipelined(self, files, emit) -> None:
-        """Overlap the device stages (seeding + locates for chunk k+1)
-        with the native host stages (finalize + output for chunk k) and
-        input parsing — the aligner analogue of the reference's
-        producer/consumer thread pool (Mapping.cpp:579-681), with the
-        device as the producer. submit_chunk dispatches chunk k+1's
-        first automaton round asynchronously BEFORE chunk k's results
-        are drained, so the relay executes it while the host finalizes
-        and writes chunk k. The stream spans ALL -f files (the
-        reference's pool never drains between libraries either,
-        main.cpp:142-151): a later file's first parse+submit overlaps
-        the previous file's drain, which is also why only the very
-        first chunk ramps. Output order stays deterministic.
+        """Overlap the device stages (seeding + locates for chunks
+        k+1, k+2) with the native host stages (finalize + output for
+        chunk k) and input parsing — the aligner analogue of the
+        reference's producer/consumer thread pool (Mapping.cpp:579-681),
+        with the device as the producer. TWO chunks stay in flight
+        ahead of the one being drained: chunk k+1's first automaton
+        round is dispatched before chunk k's results are drained, so
+        while the host blocks on chunk k's round-trip transfers the
+        relay is already executing k+1's scan — the device stream
+        never idles during a drain. (Chunk k's straggler-rerun round
+        queues BEHIND k+1's first round, which delays chunk k's own
+        completion slightly; that trade is right here because the
+        device, not the host, is the bottleneck — wall time tracks
+        total device-stream occupancy, not per-chunk latency.) The
+        stream spans ALL -f files (the reference's pool never drains
+        between libraries either, main.cpp:142-151). Output order
+        stays deterministic.
 
         files yields per-file state dicts ({reader, pair_end, fastq,
         file_idx, chunks, kind}); emit(sam, fst) writes one chunk."""
@@ -258,19 +263,29 @@ class DartAligner:
 
         fst, reads = parse_next()
         job = submit(reads) if reads else None
+        pending = None  # the (fst, reads, job) of chunk k+1, in flight
+        if reads:
+            f2, r2 = parse_next()
+            if r2:
+                pending = (f2, r2, submit(r2))
         while reads:
             nxt = {}
 
             def prefetch():
-                f2, r2 = parse_next()
-                nxt["fst"], nxt["reads"] = f2, r2
-                nxt["job"] = submit(r2) if r2 else None
+                f3, r3 = parse_next()
+                nxt["fst"], nxt["reads"] = f3, r3
+                nxt["job"] = submit(r3) if r3 else None
 
             self._finish_chunk(reads, job, fst["pair_end"], fst["fastq"],
                                lambda sam, _f=fst: emit(sam, _f), prefetch)
             if "reads" not in nxt:  # eager jobs never call the hook
                 prefetch()
-            fst, reads, job = nxt["fst"], nxt["reads"], nxt["job"]
+            if pending is not None:
+                fst, reads, job = pending
+                pending = ((nxt["fst"], nxt["reads"], nxt["job"])
+                           if nxt["reads"] else None)
+            else:
+                fst, reads, job = nxt["fst"], nxt["reads"], nxt["job"]
 
     def _finish_chunk(self, reads, job, pair_end: bool, fastq: bool,
                       emit, on_wait=None) -> None:
