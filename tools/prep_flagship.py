@@ -6,19 +6,21 @@ each stage (every stage is a no-op when its artifact exists):
   2. bench.ensure_parity_oracle — the reference -t 1 SAM oracle
   3. tools/warm_layout_cache.py — derive the disk-backed layouts once
 
-Stage 1 builds the index with the REFERENCE bwt_index binary by
-default (--builder ref): our builder's output is byte-identical
-(tests/test_index.py) and at wide scale the .sad dense samples
-degenerate to the same intv-32 sampling as .sa (builder.py:264), so
-the aligner loses nothing. Builder speed depends on scale (same-window
-measured pairs live in each dataset's meta.json build_pair_s and the
-README table): at 8-50 Mbp the two builders trade places between
-windows, but at flagship scale the reference's block-incremental
-BWT-SW (bwt_gen.c:1292-1595, 7259 s at 3.09 Gbp) beats our SA-IS
-(which needs the full 6.2e9-position suffix array in memory, ~8 h on
-this one-core host) — so prep defaults to the reference builder to
-fit a round. Run our builder separately (tools/build_grch38.py
---builder ours --force-index) to record the SA-IS flagship time.
+Stage 1's --builder choice is a history note: the flagship index on
+disk was built by the reference bwt_index binary during round-4 prep
+(7259 s, block-incremental BWT-SW, bwt_gen.c:1292-1595). Our SA-IS
+builder was then run on the identical genome (2026-08-20,
+build_grch38 --builder ours --force-index): 3409 s — 2.1x faster at
+3.09 Gbp — and all five output files byte-identical to the
+reference's (cmp over 5.4 GB; .sad at wide scale degenerates to the
+same intv-32 sampling as .sa, builder.py:264, so the aligner loses
+nothing either way). Both times are from this tenant-shared host in
+ordinary (not quiet) windows a few hours apart; the measured pairs at
+8/50 Mbp live in each dataset's meta.json build_pair_s. The earlier
+"~8 h SA-IS estimate" in this docstring's round-4 version was wrong:
+measured peak RSS was ~75 GB of the host's 125 GB and the full build
+(pack + SA-IS + BWT + dump + .sad) completed in 57 min nice'd at
+priority 19 alongside a live session.
 
 When the reads change (build_grch38 --force-reads), stages 2-3 re-run
 automatically: --force-reads deletes the oracle artifacts and clears
