@@ -280,13 +280,26 @@ class FMIndexJax:
 
     @staticmethod
     def seed_slots(Lp: int, max_rlen: int) -> int:
-        """Seed-slot count: every accepted seed advances the scan by
-        >= MIN_SEED_LEN(16) from a position < rlen - 13, so a read of
-        max_rlen yields at most (max_rlen - 14)//16 + 1 seeds. Rounded
-        up to even (the half-word result packing pairs slots) — a much
-        tighter result-transfer width than the Lp//16 worst case."""
+        """Worst-case seed-slot count: every accepted seed advances the
+        scan by >= MIN_SEED_LEN(16) from a position < rlen - 13, so a
+        read of max_rlen yields at most (max_rlen - 14)//16 + 1 seeds.
+        Rounded up to even (the half-word result packing pairs slots)
+        — a much tighter result-transfer width than the Lp//16 worst
+        case."""
         s = max(1, (max_rlen - 14) // 16 + 1)
         return min(Lp // 16, s + (s & 1))
+
+    @staticmethod
+    def seed_slots_r1(s_full: int) -> int:
+        """Round-1 slot count: the DOMINANT downlink cost is the
+        (R, 1 + S/2 + S + S/2) result buffer, and measured seed counts
+        are far below the worst case (100 bp bench mix incl. 30%
+        spliced: p99.9 = 4 seeds vs the cap of 6), so round 1 ships a
+        slimmer table and the rare lane that accepts more seeds than
+        fits is simply reported not-done — it reroutes through the
+        straggler rerun round, which always carries the full-width
+        cap. Even (half-word packing pairs slots)."""
+        return min(s_full, max(4, (s_full // 2 + 1) & ~1))
 
     def seed_submit_packed(self, buf, nmask, has_n, n_with_n: int,
                            nlive: int, Lp: int, max_rlen: int):
@@ -307,16 +320,18 @@ class FMIndexJax:
         mask-HEAVY does round 1 ship the mask inline instead."""
         Rp = buf.shape[0]
         S = self.seed_slots(Lp, max_rlen)
+        S1 = self.seed_slots_r1(S)
         words = Lp // 16
         masked = n_with_n > max(1024, nlive // 16)
         if masked:
             buf = np.concatenate(
                 [buf[:, :words], nmask, buf[:, words:]], axis=1)
-        dev = self.submit_seed_round(buf, Rp, Lp, 128, S,
+        dev = self.submit_seed_round(buf, Rp, Lp, 128, S1,
                                      use_nmask=masked)
         return {"dev": dev, "buf": buf, "nmask": None if masked else nmask,
                 "has_n": None if masked or not n_with_n else has_n,
-                "masked": masked, "nlive": nlive, "Lp": Lp, "S": S}
+                "masked": masked, "nlive": nlive, "Lp": Lp, "S": S,
+                "S1": S1}
 
     def seed_drain(self, job):
         """Drain the submitted rounds one at a time: yields
@@ -337,8 +352,6 @@ class FMIndexJax:
         buf, nmask, has_n = job["buf"], job["nmask"], job["has_n"]
         Lp, S = job["Lp"], job["S"]
         words = Lp // 16
-        packed_halves = (Lp < 256 and self.max_dup_num <= 32766
-                         and S % 2 == 0)
         lane_ids = np.arange(job["nlive"], dtype=np.int64)
         first_Rp = buf.shape[0]
         # rerun cap covers the closed-form worst case: a scan that
@@ -352,6 +365,11 @@ class FMIndexJax:
             rounds += 1
             if rounds > 4:
                 raise RuntimeError("seed scan failed to converge")
+            # round 1 ships the slim S1-slot result (seed_slots_r1);
+            # every rerun round carries the full worst-case width
+            S_r = job["S1"] if rounds == 1 else S
+            packed_halves = (Lp < 256 and self.max_dup_num <= 32766
+                             and S_r % 2 == 0)
             nlive = lane_ids.size
             _tr(f"seed drain r{rounds} block (nlive={nlive})")
             host = np.asarray(dev)[:nlive]  # one d2h
@@ -384,7 +402,8 @@ class FMIndexJax:
                     rb[:lane_ids.size, -1] = buf[lane_ids, words]
                 dev = self.submit_seed_round(rb, Rp, Lp, T_rerun, S,
                                              use_nmask=True)
-            rp, ln, kk, fr = _unpack_seed_host(host, fin, S, packed_halves)
+            rp, ln, kk, fr = _unpack_seed_host(host, fin, S_r,
+                                               packed_halves)
             yield (ids, (host[fin, 0] >> 1).astype(np.int32), rp, ln,
                    kk.astype(np.int64), fr)
             if not live.size:
@@ -401,11 +420,12 @@ class FMIndexJax:
         k0_out = np.zeros((R, S), dtype=np.int64)
         freq_out = np.zeros((R, S), dtype=np.int32)
         for ids, nn, rp, ln, kk, fr in self.seed_drain(job):
+            w = rp.shape[1]  # round 1 yields the slim S1 width
             n_out[ids] = nn
-            rpos_out[ids] = rp
-            len_out[ids] = ln
-            k0_out[ids] = kk
-            freq_out[ids] = fr
+            rpos_out[ids, :w] = rp
+            len_out[ids, :w] = ln
+            k0_out[ids, :w] = kk
+            freq_out[ids, :w] = fr
         if on_wait is not None:
             on_wait()
         return n_out, rpos_out, len_out, k0_out, freq_out
@@ -719,6 +739,10 @@ def _seed_scan_packed(table, L2, lut, buf, *, primary,
                            lut=lut, lut_k=lut_k, ref_off=ref_off,
                            sad_off=sad_off, sa_intv=sa_intv, seq_len=seq_len)
     (done, nseeds, o_rpos, o_len, o_k0, o_freq) = st
+    # a lane that accepted more seeds than this round's slot count
+    # holds truncated results: report it not-done so the host reroutes
+    # it through the (full-width) straggler rerun round
+    done = done & (nseeds <= S)
     head = (done.astype(jnp.int32) | (nseeds << 1))[:, None]
     if read_len < 256 and max_dup <= 32766 and S % 2 == 0:
         # half-word packing: (rpos, len) byte pairs and freq+1 uint16

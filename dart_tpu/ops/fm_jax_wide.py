@@ -668,6 +668,9 @@ def _seed_scan_packed_wide(blocks, L2lo, L2hi, lut, buf, *,
                                lut=lut, lut_k=lut_k, ref_off=ref_off,
                                sad_off=sad_off, sa_intv=sa_intv,
                                seq_len=seq_len))
+    # overflowed lanes (more accepted seeds than this round's slots)
+    # hold truncated results: report not-done -> full-width rerun
+    done = done & (nseeds <= S)
     head = (done.astype(jnp.int32) | (nseeds << 1))[:, None]
     meta = ((o_rpos << 16) | o_len).T
     return jnp.concatenate(
@@ -953,6 +956,14 @@ class FMIndexJaxWide:
         s = max(1, (max_rlen - 14) // 16 + 1)
         return min(Lp // 16, s + (s & 1))
 
+    @staticmethod
+    def seed_slots_r1(s_full: int) -> int:
+        """Slim round-1 slot count (see the narrow engine's
+        seed_slots_r1; overflowing lanes reroute to the full-width
+        rerun). The wide result rows are 1 + 4*S words, so the
+        saving is proportionally larger here."""
+        return min(s_full, max(4, (s_full // 2 + 1) & ~1))
+
     def submit_seed_round(self, buf, Rp, Lp, T, S=None, use_nmask=False):
         """One merged-buffer dispatch (see the narrow engine)."""
         if S is None:
@@ -982,16 +993,18 @@ class FMIndexJaxWide:
         seed_submit_packed."""
         Rp = buf.shape[0]
         S = self.seed_slots(Lp, max_rlen)
+        S1 = self.seed_slots_r1(S)
         words = Lp // 16
         masked = n_with_n > max(1024, nlive // 16)
         if masked:
             buf = np.concatenate(
                 [buf[:, :words], nmask, buf[:, words:]], axis=1)
-        dev = self.submit_seed_round(buf, Rp, Lp, 128, S,
+        dev = self.submit_seed_round(buf, Rp, Lp, 128, S1,
                                      use_nmask=masked)
         return {"dev": dev, "buf": buf, "nmask": None if masked else nmask,
                 "has_n": None if masked or not n_with_n else has_n,
-                "masked": masked, "nlive": nlive, "Lp": Lp, "S": S}
+                "masked": masked, "nlive": nlive, "Lp": Lp, "S": S,
+                "S1": S1}
 
     def seed_finish(self, job, on_wait=None):
         buf, nmask, has_n = job["buf"], job["nmask"], job["has_n"]
@@ -1014,6 +1027,8 @@ class FMIndexJaxWide:
             if rounds > 4:
                 raise RuntimeError("seed scan failed to converge")
             nlive = lane_ids.size
+            # round 1 ships the slim S1-slot result; reruns are full
+            Sr = job["S1"] if rounds == 1 else S
             _tr(f"wseed drain r{rounds} block (nlive={nlive})")
             host = np.asarray(dev)[:nlive]
             _tr(f"wseed drain r{rounds} done")
@@ -1025,13 +1040,13 @@ class FMIndexJaxWide:
             fin = np.nonzero(done)[0]
             ids = lane_ids[fin]
             n_out[ids] = host[fin, 0] >> 1
-            meta = host[fin, 1:1 + S]
-            rpos_out[ids] = (meta >> 16) & 0xFFFF
-            len_out[ids] = meta & 0xFFFF
-            k0_out[ids] = _join64(
-                host[fin, 1 + S:1 + 2 * S].view(np.uint32),
-                host[fin, 1 + 2 * S:1 + 3 * S].view(np.uint32))
-            freq_out[ids] = host[fin, 1 + 3 * S:1 + 4 * S]
+            meta = host[fin, 1:1 + Sr]
+            rpos_out[ids, :Sr] = (meta >> 16) & 0xFFFF
+            len_out[ids, :Sr] = meta & 0xFFFF
+            k0_out[ids, :Sr] = _join64(
+                host[fin, 1 + Sr:1 + 2 * Sr].view(np.uint32),
+                host[fin, 1 + 2 * Sr:1 + 3 * Sr].view(np.uint32))
+            freq_out[ids, :Sr] = host[fin, 1 + 3 * Sr:1 + 4 * Sr]
             live = np.nonzero(~done)[0]
             if live.size == 0:
                 break

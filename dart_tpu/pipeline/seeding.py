@@ -168,10 +168,11 @@ def _expand_occurrences_pipelined(engine, payload, n_reads, on_wait=None):
     parts = []
     _tr(f"chunk expand start (reads={n_reads})")
     for ids, nn, rp, ln, kk, fr in engine.seed_drain(payload):
-        rpos_full[ids] = rp
-        len_full[ids] = ln
+        w = rp.shape[1]  # round 1 yields the slim S1 width
+        rpos_full[ids, :w] = rp
+        len_full[ids, :w] = ln
         freq_v, rows, direct = _part_rows(nn, rp, ln, kk, fr)
-        freq_v_full[ids] = freq_v
+        freq_v_full[ids, :w] = freq_v
         nd = ~direct
         loc_job = engine.locate_submit(rows[nd]) if nd.any() else None
         parts.append((ids, loc_job, rows, direct))
