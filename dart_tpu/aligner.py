@@ -349,11 +349,13 @@ class DartAligner:
 
         from .constants import RAMP_READS
 
+        eff_ramp = (RAMP_READS
+                    if os.environ.get("DART_TPU_RAMP", "0") == "1" else 0)
         state = {"file_idx": file_idx, "chunks": chunks,
                  "sam_bytes": sam_bytes, "counters": self.counters,
                  "batch_reads": self.cfg.batch_reads,
                  "output_format": self.cfg.output_format,
-                 "ramp_reads": RAMP_READS,
+                 "ramp_reads": eff_ramp,
                  # ramp applies to the first file only; a checkpoint
                  # from the older every-file-ramps layout must not
                  # resume (chunk boundaries in files > 0 moved)
@@ -378,7 +380,9 @@ class DartAligner:
 
         if state.get("batch_reads") != self.cfg.batch_reads:
             return None  # chunk boundaries would not line up
-        if state.get("ramp_reads") != RAMP_READS:
+        eff_ramp = (RAMP_READS
+                    if os.environ.get("DART_TPU_RAMP", "0") == "1" else 0)
+        if state.get("ramp_reads") != eff_ramp:
             return None  # first-chunk ramp changed: boundaries moved
         if not state.get("ramp_first_file_only"):
             return None  # pre-throttle layout: files > 0 ramped too
@@ -466,11 +470,17 @@ class DartAligner:
             # inputs of manageable size use the vectorized whole-buffer
             # readers feeding the native pipeline blobs
             small = os.path.getsize(path1) < (8 << 30)
-            # only the FIRST file's first chunk ramps: the ramp exists
-            # to fill the device pipeline quickly at startup; later
-            # files' first parses already overlap the previous file's
-            # drain in the cross-file pipelined stream
-            ramp = file_idx == 0
+            # the first-chunk ramp (a small first chunk so the device
+            # starts after milliseconds of parsing) predates keeping
+            # two chunks in flight; measured with depth-2 it only adds
+            # a full extra round set (~280 ms of device-stream time
+            # for 4% of the reads: 100k-read passes 0.92 s ramp-off vs
+            # 1.09 s ramp-on, same window), so it is now OFF by
+            # default. DART_TPU_RAMP=1 re-enables (e.g. for
+            # latency-to-first-output); checkpoints record the
+            # effective value and refuse to resume across a change.
+            ramp = (file_idx == 0
+                    and os.environ.get("DART_TPU_RAMP", "0") == "1")
             if self.native is not None and path2 is None and small:
                 from .io.fastx_fast import FastChunkReader
 

@@ -231,6 +231,22 @@ class FMIndexJax:
             _mem_walks_kernel, primary=self.primary), **self._walk_sh)
         self._locate_jit = {}
         self._seed_jit = {}
+        # tiny locate batches skip the device round trip: with the
+        # fast-extension path nearly every occurrence is located
+        # in-kernel (measured: <10 SA-locate rows per 65k-read chunk
+        # on the bench mix), so a device locate round is ~pure relay
+        # latency (~25-47 ms traced) for a handful of rows — a
+        # vectorized host LF-walk over the same index answers in ~1 ms,
+        # bit-equal (ops/fm_numpy.locate is the tested oracle). Capped
+        # to <=2^28 texts so the pinned host arrays stay <~400 MB.
+        self._host_fm = None
+        if self.seq_len <= (1 << 28):
+            try:
+                from .fm_numpy import FMIndexNumpy
+
+                self._host_fm = FMIndexNumpy(idx, lean=True)
+            except Exception:
+                self._host_fm = None
 
     def seed_reads(self, codes: np.ndarray, rlens: np.ndarray):
         """Batched reference seeding scan (IdentifySeedPairs jump
@@ -505,6 +521,10 @@ class FMIndexJax:
         n = rows.shape[0]
         if n == 0:
             return None
+        if n <= 512 and self._host_fm is not None:
+            _tr(f"locate host n={n}")
+            return {"host": self._host_fm.locate(
+                np.asarray(rows, dtype=np.int64)).astype(np.int64)}
         cur_k = np.asarray(rows, dtype=np.int32)
         # walk lengths are geometric(1/intv): cap at intv*(ln n + 4) so
         # the expected straggler count is ~0 and one round suffices;
@@ -522,6 +542,8 @@ class FMIndexJax:
         tail."""
         if job is None:
             return np.empty(0, dtype=np.int64)
+        if "host" in job:
+            return job["host"]
         n = job["n"]
         out = np.zeros(n, dtype=np.int64)
         lane_ids = np.arange(n, dtype=np.int64)
