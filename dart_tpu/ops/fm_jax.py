@@ -401,12 +401,8 @@ class FMIndexJax:
             live = np.nonzero(~done)[0]
             if live.size:
                 lane_ids = lane_ids[live]
-                if lane_ids.size <= self._min_bucket:
-                    Rp = self._min_bucket
-                else:
-                    Rp = (max(4096, self._min_bucket)
-                          if lane_ids.size <= max(4096, self._min_bucket)
-                          else first_Rp)
+                Rp = min(self._pad_up(lane_ids.size, self._min_bucket),
+                         first_Rp)
                 rb = np.zeros((Rp, words + words // 2 + 1),
                               dtype=np.uint32)
                 if job["masked"]:
@@ -478,9 +474,16 @@ class FMIndexJax:
 
     @staticmethod
     def _pad_up(n: int, floor: int = 4096) -> int:
-        """Next power of two (>= floor): a small closed set of shapes."""
+        """Next bucket (>= floor) from the closed shape set
+        {2^k} U {3*2^k}: powers of two plus midpoints. The midpoints
+        matter for trailing chunks — 100k reads split 65536 + 34464,
+        and padding the tail to 65536 wastes 31% of its round's
+        gathers and transfer; 49152 wastes 12%. Still a small closed
+        set, so the compiled-program count stays warm-coverable."""
         p = floor
         while p < n:
+            if (mid := p + (p >> 1)) >= n:
+                return mid
             p <<= 1
         return p
 

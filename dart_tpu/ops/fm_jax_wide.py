@@ -946,8 +946,11 @@ class FMIndexJaxWide:
 
     @staticmethod
     def _pad_up(n: int, floor: int = 1024) -> int:
+        # closed bucket set {2^k} U {3*2^k}; see the narrow engine
         p = floor
         while p < n:
+            if (mid := p + (p >> 1)) >= n:
+                return mid
             p <<= 1
         return p
 
@@ -1051,12 +1054,8 @@ class FMIndexJaxWide:
             if live.size == 0:
                 break
             lane_ids = lane_ids[live]
-            if lane_ids.size <= self._min_bucket:
-                Rp = self._min_bucket
-            else:
-                Rp = (max(4096, self._min_bucket)
-                      if lane_ids.size <= max(4096, self._min_bucket)
-                      else first_Rp)
+            Rp = min(self._pad_up(lane_ids.size, self._min_bucket),
+                     first_Rp)
             rb = np.zeros((Rp, words + words // 2 + 1), dtype=np.uint32)
             if job["masked"]:
                 rb[:lane_ids.size] = buf[lane_ids]
