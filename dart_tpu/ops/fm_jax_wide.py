@@ -35,6 +35,7 @@ toy index and on a synthetic >2^31 genome).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +43,7 @@ import numpy as np
 
 from ..index import layout_cache
 from ..index.loader import Index
-from .fm_jax import _clz32, _pc_even, _sel4, _sel8, _tr
+from .fm_jax import _clz32, _expand16, _pc_even, _sel4, _sel8, _tr
 
 BLOCK_W = 128  # bases per wide occ-checkpoint row
 
@@ -320,10 +321,10 @@ def build_lut_wide(blocks, L2lo, L2hi, primary: int, K: int):
         [a[0], a[1], b[0], b[1], d[0], d[1]], axis=1))(x0, x1, x2)
 
 
-def _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens, *, primary,
-                           max_dup, max_seeds, max_iters, lut=None,
-                           lut_k=0, ref_off=0, sad_off=0, sa_intv=0,
-                           seq_len=0):
+def _seed_scan_kernel_wide(blocks, L2lo, L2hi, words, nmask1, rlens, *,
+                           primary, max_dup, max_seeds, max_iters,
+                           lut=None, lut_k=0, ref_off=0, sad_off=0,
+                           sa_intv=0, seq_len=0):
     """Wide device automaton replaying the reference seeding scan
     (IdentifySeedPairs, AlignmentCandidates.cpp:188-211) with 64-bit
     interval state as uint32 pairs. One lane per read; same control
@@ -341,41 +342,56 @@ def _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens, *, primary,
       table, so every mode shares the single 2R-row gather.
 
     Emits (done, nseeds, rpos, len, k0_lo, k0_hi, freq)."""
-    R, L = codes.shape
+    R = words.shape[0]
+    Lw = words.shape[1] - 1
+    L = Lw * 16
+    Wn = nmask1.shape[1] - 1
     S = max_seeds
     fast = ref_off > 0 and sa_intv > 0 and (sa_intv & (sa_intv - 1)) == 0
-    codes_i = codes.astype(jnp.int32)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     zero = jnp.zeros(R, jnp.uint32)
     use_lut = lut is not None and lut_k > 0
-    if use_lut:
-        key = jnp.zeros((R, L), jnp.int32)
-        bad = jnp.zeros((R, L), jnp.bool_)
-        for j in range(lut_k):
-            cj = jnp.concatenate(
-                [codes_i[:, j:], jnp.full((R, j), 4, jnp.int32)], axis=1)
-            key = (key << 2) | jnp.minimum(cj, 3)
-            bad = bad | (cj > 3)
-        pre = lut[jnp.where(bad, 0, key).reshape(-1)].reshape(R, L, 6)
-        li = [pre[..., j] for j in range(6)]
-        deadm = bad[..., None]
-        li[4] = jnp.where(bad, jnp.uint32(0), li[4])
-        li[5] = jnp.where(bad, jnp.uint32(0), li[5])
-        del deadm
-    if fast:
-        # read codes packed 16/word (top-first) + an N mask that forces
-        # mismatches; one pad word so reads at (q>>4)+1 stay in range
-        Lw = L // 16
-        rwords = jnp.zeros((R, Lw + 1), jnp.uint32)
-        nwords = jnp.zeros((R, Lw + 1), jnp.uint32)
+    # see the narrow kernel: pre-gathered LUT states win on the axon
+    # backend; DART_TPU_LUT_PRE=0 switches to in-loop gathers
+    lut_pre = os.environ.get("DART_TPU_LUT_PRE", "1") != "0"
+    rwords = words                    # same 2-bit top-first packing
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, Lw + 1), 1)
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, Wn + 1), 1)
+    if use_lut and lut_pre:
+        w1 = words[:, :Lw]
+        w2 = words[:, 1:Lw + 1]
+        win_cols = []
         for k in range(16):
-            c = codes_i[:, k::16]
-            sh = jnp.uint32(2 * (15 - k))
-            rwords = rwords.at[:, :Lw].add(
-                jnp.minimum(c, 3).astype(jnp.uint32) << sh)
-            nwords = nwords.at[:, :Lw].add(
-                jnp.where(c > 3, jnp.uint32(3), jnp.uint32(0)) << sh)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, Lw + 1), 1)
+            sh = jnp.uint32(2 * k)
+            win_cols.append(w1 if k == 0 else
+                            (w1 << sh) | (w2 >> (jnp.uint32(32) - sh)))
+        win = jnp.stack(win_cols, axis=2).reshape(R, L)
+        keyp = (win >> jnp.uint32(32 - 2 * lut_k)).astype(jnp.int32)
+        n1 = nmask1[:, :Wn]
+        n2 = nmask1[:, 1:Wn + 1]
+        nwin_cols = []
+        for k in range(32):
+            sh = jnp.uint32(k)
+            nwin_cols.append(n1 if k == 0 else
+                             (n1 << sh) | (n2 >> (jnp.uint32(32) - sh)))
+        nwin = jnp.stack(nwin_cols, axis=2).reshape(R, L)
+        badp = (nwin >> jnp.uint32(32 - lut_k)) != 0
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        badp = badp | (iota_l + lut_k > rlens[:, None])
+        pre = lut[jnp.where(badp, 0, keyp).reshape(-1)].reshape(R, L, 6)
+        li = [pre[..., j] for j in range(6)]
+        li[4] = jnp.where(badp, jnp.uint32(0), li[4])
+        li[5] = jnp.where(badp, jnp.uint32(0), li[5])
+    if fast:
+        # 2-bit N-mismatch mask for the genome-compare step, expanded
+        # from the 1-bit transfer mask (see the narrow kernel)
+        nw_cols = []
+        for c in range(Lw // 2):
+            m = nmask1[:, c]
+            for half in (m >> jnp.uint32(16), m & jnp.uint32(0xFFFF)):
+                e = _expand16(half)
+                nw_cols.append(e | (e << 1))
+        nw_cols.append(jnp.zeros((R,), jnp.uint32))
+        nwords = jnp.stack(nw_cols, axis=1)
         sa_shift = int(sa_intv).bit_length() - 1
         sa_mask = jnp.uint32(sa_intv - 1)
         slenlo, slenhi = _p_const(seq_len)
@@ -433,21 +449,56 @@ def _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens, *, primary,
             lk_eff = (lklo, lkhi)
             steps_eff = steps
 
+        # packed-word character read (see the narrow kernel)
         safe_cur = jnp.minimum(cur, L - 1)
-        oh = iota_l == safe_cur[:, None]
-        ch_raw = jnp.sum(jnp.where(oh, codes_i, 0), axis=1)
-        ch = jnp.where(cur < rlens, ch_raw, 4)
-        amb = ch > 3
+        qw_i = safe_cur >> 4
+        ohw_i = iota_w == qw_i[:, None]
+        rw_i = jnp.sum(jnp.where(ohw_i, rwords, 0), axis=1)
+        sh_i = ((~safe_cur & 15) << 1).astype(jnp.uint32)
+        ch2 = ((rw_i >> sh_i) & 3).astype(jnp.int32)
+        qn_i = safe_cur >> 5
+        ohn_i = iota_n == qn_i[:, None]
+        nm_i = jnp.sum(jnp.where(ohn_i, nmask1, 0), axis=1)
+        nbit = ((nm_i >> (31 - (safe_cur & 31)).astype(jnp.uint32))
+                & 1) != 0
+        amb = (cur >= rlens) | nbit
+        ch = jnp.where(amb, 4, ch2)
         c_safe = jnp.minimum(ch, 3)
 
         # ---- init values ----
-        if use_lut:
-            i_vals = [jnp.sum(jnp.where(oh, v, jnp.uint32(0)), axis=1,
+        if use_lut and lut_pre:
+            oh_l = iota_l == safe_cur[:, None]
+            i_vals = [jnp.sum(jnp.where(oh_l, v, jnp.uint32(0)), axis=1,
                               dtype=jnp.uint32) for v in li]
             i_x0 = (i_vals[0], i_vals[1])
             i_x1 = (i_vals[2], i_vals[3])
             i_x2 = (i_vals[4], i_vals[5])
             init_ok = (i_vals[4] | i_vals[5]) != 0
+            init_jump = lut_k
+        elif use_lut:
+            # per-iteration K-mer window + ONE R-row LUT gather (see
+            # the narrow kernel for the derivation)
+            w2_i = jnp.sum(jnp.where(iota_w == (qw_i + 1)[:, None],
+                                     rwords, 0), axis=1)
+            boff = ((safe_cur & 15) << 1).astype(jnp.uint32)
+            win = jnp.where(boff == 0, rw_i,
+                            (rw_i << boff)
+                            | (w2_i >> (jnp.uint32(32) - boff)))
+            key = (win >> jnp.uint32(32 - 2 * lut_k)).astype(jnp.int32)
+            nm2_i = jnp.sum(jnp.where(iota_n == (qn_i + 1)[:, None],
+                                      nmask1, 0), axis=1)
+            nb = (safe_cur & 31).astype(jnp.uint32)
+            nwin = jnp.where(nb == 0, nm_i,
+                             (nm_i << nb)
+                             | (nm2_i >> (jnp.uint32(32) - nb)))
+            badN = (nwin >> jnp.uint32(32 - lut_k)) != 0
+            bad = badN | (cur + lut_k > rlens)
+            lrow = lut[jnp.where(initing & ~bad, key, 0)]
+            i_x0 = (lrow[:, 0], lrow[:, 1])
+            i_x1 = (lrow[:, 2], lrow[:, 3])
+            i_x2 = (jnp.where(bad, jnp.uint32(0), lrow[:, 4]),
+                    jnp.where(bad, jnp.uint32(0), lrow[:, 5]))
+            init_ok = (i_x2[0] | i_x2[1]) != 0
             init_jump = lut_k
         else:
             i_x0 = _p_add_i32(*_l2_pair(L2lo, L2hi, c_safe), jnp.int32(1))
@@ -646,23 +697,18 @@ def _seed_scan_packed_wide(blocks, L2lo, L2hi, lut, buf, *,
     S = max_seeds
     R = buf.shape[0]
     words = read_len // 16
-    codes2 = buf[:, :words]
     rlens = jax.lax.bitcast_convert_type(buf[:, -1], jnp.int32)
-    parts = []
-    for k in range(16):
-        parts.append(((codes2 >> jnp.uint32(2 * (15 - k))) & 3)
-                     .astype(jnp.uint8))
-    codes = jnp.stack(parts, axis=2).reshape(R, read_len)
+    pad = jnp.zeros((R, 1), jnp.uint32)
+    # packed-word reads throughout (see the narrow wrapper): no (R, L)
+    # unpacked codes matrix exists anywhere
+    wcols = jnp.concatenate([buf[:, :words], pad], axis=1)
     if use_nmask:
-        nmask = buf[:, words:words + words // 2]
-        nparts = []
-        for k in range(32):
-            nparts.append(((nmask >> jnp.uint32(31 - k)) & 1)
-                          .astype(jnp.uint8))
-        isn = jnp.stack(nparts, axis=2).reshape(R, read_len)
-        codes = jnp.where(isn != 0, jnp.uint8(4), codes)
+        nmask1 = jnp.concatenate(
+            [buf[:, words:words + words // 2], pad], axis=1)
+    else:
+        nmask1 = jnp.zeros((R, words // 2 + 1), jnp.uint32)
     done, nseeds, o_rpos, o_len, o_k0lo, o_k0hi, o_freq = (
-        _seed_scan_kernel_wide(blocks, L2lo, L2hi, codes, rlens,
+        _seed_scan_kernel_wide(blocks, L2lo, L2hi, wcols, nmask1, rlens,
                                primary=primary, max_dup=max_dup,
                                max_seeds=S, max_iters=max_iters,
                                lut=lut, lut_k=lut_k, ref_off=ref_off,
