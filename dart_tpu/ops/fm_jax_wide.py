@@ -1048,7 +1048,14 @@ class FMIndexJaxWide:
         if masked:
             buf = np.concatenate(
                 [buf[:, :words], nmask, buf[:, words:]], axis=1)
-        dev = self.submit_seed_round(buf, Rp, Lp, 128, S1,
+        # coarse SA sampling (no dense .sad at wide scale) makes the
+        # fast-extension LF-walks consume ~sa_intv/2 extra iterations
+        # per direct seed, so round 1 needs more headroom than the
+        # narrow engine's 128 (measured 12% vs 2.6% straggler rate);
+        # DART_TPU_T1 overrides for tuning
+        T1 = int(os.environ.get("DART_TPU_T1", "160" if self.sa_intv > 8
+                                else "128"))
+        dev = self.submit_seed_round(buf, Rp, Lp, T1, S1,
                                      use_nmask=masked)
         return {"dev": dev, "buf": buf, "nmask": None if masked else nmask,
                 "has_n": None if masked or not n_with_n else has_n,
