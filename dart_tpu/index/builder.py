@@ -257,9 +257,12 @@ def build_index(fasta_path: str, prefix: str, seed: int = 11,
     packer.write_ann(prefix + ".ann", pg)
     packer.write_amb(prefix + ".amb", pg)
     if sad_intv:
-        # wide genomes use a sparser interval: dense samples at int64
-        # width would dominate HBM (the wide locate kernel compensates
-        # with straggler compaction)
+        # wide genomes use a middle interval: every-8 at int64 pair
+        # width would put ~6 GB of samples in HBM on a GRCh38-class
+        # table (10.3 GiB total), while the BWA every-32 doubles the
+        # fast-extension LF-walks' iteration tail (measured: 12% of
+        # flagship lanes exhausted the round-1 cap). Every-16 costs
+        # +1.5 GiB HBM (7.2 GiB total on GRCh38) and halves the walks.
         wide = seq_len >= 2**31
-        intv = max(sad_intv, SA_INTERVAL) if wide else sad_intv
+        intv = max(sad_intv, SA_INTERVAL // 2) if wide else sad_intv
         write_sad_file(prefix + ".sad", sample(intv), intv, wide=wide)
