@@ -1053,7 +1053,7 @@ class FMIndexJaxWide:
         # per direct seed, so round 1 needs more headroom than the
         # narrow engine's 128 (measured 12% vs 2.6% straggler rate);
         # DART_TPU_T1 overrides for tuning
-        T1 = int(os.environ.get("DART_TPU_T1", "160" if self.sa_intv > 8
+        T1 = int(os.environ.get("DART_TPU_T1", "160" if self.sa_intv > 16
                                 else "128"))
         dev = self.submit_seed_round(buf, Rp, Lp, T1, S1,
                                      use_nmask=masked)

@@ -37,8 +37,15 @@ def main(prefix: str) -> int:
         log("WARNING: .refpad missing after load (read-only dir?)")
     wide = idx.seq_len >= 2 ** 31
     kind = "wtab" if wide else "ntab"
-    if os.path.exists(prefix + "." + kind):
-        log(f".{kind} already cached")
+    # validity probe, not existence: the cache is keyed on the
+    # effective sa_intv too (a regenerated .sad must invalidate it —
+    # the engines would silently rebuild inline otherwise)
+    probe_meta = {"seq_len": int(idx.seq_len),
+                  "sa_intv": int(idx.sad_intv or idx.sa_intv)}
+    cached, _h = layout_cache.load_array(prefix, kind, probe_meta)
+    if cached is not None:
+        del cached
+        log(f".{kind} already cached (metadata valid)")
         return 0
     t0 = time.time()
     if wide:
