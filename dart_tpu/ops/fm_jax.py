@@ -342,7 +342,10 @@ class FMIndexJax:
         if masked:
             buf = np.concatenate(
                 [buf[:, :words], nmask, buf[:, words:]], axis=1)
-        dev = self.submit_seed_round(buf, Rp, Lp, 128, S1,
+        # round-1 iteration cap (see the wide engine's T1 note): the
+        # whole batch pays the cap while only stragglers profit
+        T1 = int(os.environ.get("DART_TPU_T1", "128"))
+        dev = self.submit_seed_round(buf, Rp, Lp, T1, S1,
                                      use_nmask=masked)
         return {"dev": dev, "buf": buf, "nmask": None if masked else nmask,
                 "has_n": None if masked or not n_with_n else has_n,

@@ -1048,13 +1048,16 @@ class FMIndexJaxWide:
         if masked:
             buf = np.concatenate(
                 [buf[:, :words], nmask, buf[:, words:]], axis=1)
-        # coarse SA sampling (no dense .sad at wide scale) makes the
-        # fast-extension LF-walks consume ~sa_intv/2 extra iterations
-        # per direct seed, so round 1 needs more headroom than the
-        # narrow engine's 128 (measured 12% vs 2.6% straggler rate);
-        # DART_TPU_T1 overrides for tuning
+        # round-1 iteration cap: with dense .sad samples most lanes
+        # finish in ~40-70 iterations, and excess cap is paid by the
+        # WHOLE batch while only stragglers profit — flagship measured
+        # T=96 at 2.68 s vs T=128 at 3.05 s vs T=160 at 3.15 s per
+        # 100k-pair pass (T=80 within noise of 96 with 2x the
+        # stragglers). Coarse sampling (sa_intv > 16) adds ~sa_intv/2
+        # LF iterations per direct seed and wants more headroom.
+        # DART_TPU_T1 overrides for tuning.
         T1 = int(os.environ.get("DART_TPU_T1", "160" if self.sa_intv > 16
-                                else "128"))
+                                else "96"))
         dev = self.submit_seed_round(buf, Rp, Lp, T1, S1,
                                      use_nmask=masked)
         return {"dev": dev, "buf": buf, "nmask": None if masked else nmask,
